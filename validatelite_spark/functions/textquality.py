@@ -1,0 +1,186 @@
+"""Text-analysis functions — native Column implementations.
+
+All JVM-side (whole-stage codegen, no Python in the hot path): language
+identification via stopword-marker scoring, Gopher/C4-style quality
+heuristics (doc length, symbol ratio, stopword fraction, repetition via
+distinct-token ratio), token counting, quality scoring, and document
+fingerprinting. Every function here is also expressible in ANSI SQL so the
+DuckDB oracle can verify it bit-for-bit.
+
+These realize the reference's rule types re-targeted for web text
+(BASELINE.json north_star): LENGTH→doc-length, RANGE→ratio thresholds,
+ENUM→language allowlist after langid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- tokenize
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased text; empty text → empty array."""
+    t = F.trim(F.lower(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def non_space_char_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "\\s+", ""))
+
+
+def mean_word_length(col: Column) -> Column:
+    n = token_count(col)
+    return F.when(n > 0, non_space_char_count(col) / n).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------- ratios
+
+def symbol_ratio(col: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace
+    (ASCII classes for oracle parity; CJK counts as symbol-free letters)."""
+    n = F.length(col)
+    kept = F.length(F.regexp_replace(col, "[^a-zA-Z0-9\\s]", ""))
+    return F.when(n > 0, (n - kept) / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column) -> Column:
+    n = F.length(col)
+    digits = n - F.length(F.regexp_replace(col, "[0-9]", ""))
+    return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    """Type/token ratio — a cheap, shuffle-free repetition signal
+    (low ratio = heavy boilerplate repetition)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(1.0))
+
+
+# ---------------------------------------------------------------- stopwords
+
+#: Common English stopwords (public linguistic knowledge).
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "was",
+    "on", "as", "are", "at", "be", "this", "have", "from", "or", "by",
+]
+
+#: Per-language marker words for langid scoring (public stopword lists;
+#: sets chosen to be mutually disjoint so argmax is unambiguous).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "that", "with", "was", "this", "have", "are"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "auch"],
+    "fr": ["le", "les", "et", "est", "dans", "pour", "que", "vous", "nous", "sur"],
+    "es": ["el", "los", "las", "es", "una", "por", "para", "del", "como", "pero"],
+}
+
+#: Deterministic priority order for argmax tie-breaks.
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+
+def stopword_count(col: Column, words: list[str] | None = None) -> Column:
+    ws = words or EN_STOPWORDS
+    return F.size(F.filter(tokens(col), lambda t: t.isin(ws)))
+
+
+def stopword_fraction(col: Column, words: list[str] | None = None) -> Column:
+    n = token_count(col)
+    return F.when(n > 0, stopword_count(col, words) / n).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------- langid
+
+def cjk_char_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "[^\\u4e00-\\u9fff]", ""))
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Marker-token count for one language; for zh, CJK character count
+    (a CJK char is worth one marker token)."""
+    if lang == "zh":
+        return cjk_char_count(col)
+    return F.size(F.filter(tokens(col), lambda t: t.isin(LANG_MARKERS[lang])))
+
+
+def lang_id(col: Column) -> Column:
+    """Detected language: argmax of marker scores with the fixed priority
+    order for ties; 'und' (undetermined) when every score is zero.
+
+    Implemented as a CASE chain over score columns — pure codegen, and
+    byte-for-byte reproducible in the DuckDB oracle. Chain invariant: lang k
+    wins iff score_k > 0 and score_k >= score_j for every lower-priority j
+    (the max always passes its own case; earlier, smaller scores fail the
+    >=-later check, so this is argmax with priority tie-break)."""
+    scores = {lg: lang_score(col, lg) for lg in LANG_PRIORITY}
+    expr = F.lit("und")
+    for lg in reversed(LANG_PRIORITY):
+        cond = scores[lg] > 0
+        for other in LANG_PRIORITY[LANG_PRIORITY.index(lg) + 1:]:
+            cond = cond & (scores[lg] >= scores[other])
+        expr = F.when(cond, F.lit(lg)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------- scoring
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0, 1]: rewards stopword density and
+    lexical diversity, penalizes symbol noise. SQL-expressible (C4-style
+    heuristic blend)."""
+    sw = F.least(stopword_fraction(col) * F.lit(5.0), F.lit(1.0))
+    dv = distinct_token_ratio(col)
+    sym = F.greatest(F.lit(0.0), F.lit(1.0) - symbol_ratio(col) * F.lit(5.0))
+    return F.round((sw * 0.4 + dv * 0.3 + sym * 0.3), 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text —
+    the exact-dedup key. Identical in DuckDB (`md5(...)`)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), "\\s+", " "))
+
+
+# ---------------------------------------------------------------- gopher
+
+#: Gopher-style heuristic defaults (public: Rae et al. 2021, "Scaling
+#: Language Models" appendix A1.1, simplified to the signals computable
+#: without a second pass).
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.10,
+    "min_stopword_count": 2,
+    "min_distinct_ratio": 0.20,
+}
+
+
+def gopher_fail(col: Column, params: dict | None = None) -> Column:
+    """Composite Gopher failure predicate: NULL text fails (completeness
+    semantics, like NOT_NULL/RANGE in the reference); otherwise fails when
+    any heuristic is violated."""
+    p = dict(GOPHER_DEFAULTS)
+    if params:
+        p.update({k: v for k, v in params.items() if v is not None})
+    n_words = token_count(col)
+    mwl = mean_word_length(col)
+    viol = (
+        (n_words < p["min_words"])
+        | (n_words > p["max_words"])
+        | (mwl < p["min_mean_word_len"])
+        | (mwl > p["max_mean_word_len"])
+        | (symbol_ratio(col) > p["max_symbol_ratio"])
+        | (stopword_count(col) < p["min_stopword_count"])
+        | (distinct_token_ratio(col) < p["min_distinct_ratio"])
+    )
+    return F.when(col.isNull(), F.lit(True)).otherwise(viol)
