@@ -1,0 +1,200 @@
+"""Quality-pipeline tests: keep/drop F1 vs the pandas reference oracle,
+byte-identical scrubbed text, single-scan metrics, salted domain metrics,
+checkpoint/resume, and partitioning-invariance of the generator."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from validatelite_spark.pipeline.pages import synthesize_pages
+from validatelite_spark.pipeline.quality import (
+    PipelineConfig,
+    QualityPipeline,
+    domain_metrics,
+)
+from validatelite_spark.pipeline.reference_impl import reference_filter
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_pages(spark, N).cache()
+
+
+@pytest.fixture(scope="module")
+def annotated(spark, pages):
+    pipe = QualityPipeline(spark)
+    ann, results = pipe.run(pages)
+    return ann.cache(), results
+
+
+class TestGenerator:
+    def test_schema_matches_input_hint(self, pages):
+        assert [(f.name, f.dataType.simpleString()) for f in pages.schema] == [
+            ("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+            ("text", "string"), ("lang", "string")]
+
+    def test_partition_invariance(self, spark):
+        a = synthesize_pages(spark, 500, partitions=2).orderBy("url").collect()
+        b = synthesize_pages(spark, 500, partitions=7).orderBy("url").collect()
+        assert a == b
+
+    def test_planted_classes_present(self, pages):
+        counts = pages.agg(
+            F.sum(F.col("text").isNull().cast("long")).alias("nulls"),
+            F.count_distinct("url").alias("urls"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        assert counts["nulls"] == N // 20
+        assert counts["urls"] < N  # planted duplicate urls exist
+
+
+class TestKeepDropParity:
+    def test_f1_and_scrub_byte_parity(self, spark, pages, annotated):
+        ann, _ = annotated
+        got = (ann.select("url", "text", "keep", "text_scrubbed")
+               .orderBy("url", "text").toPandas())
+        want = reference_filter(
+            pages.orderBy("url", "text").toPandas())
+        # align: same generator order
+        assert len(got) == len(want)
+        tp = int(((got["keep"]) & (want["keep"])).sum())
+        fp = int(((got["keep"]) & (~want["keep"])).sum())
+        fn = int(((~got["keep"]) & (want["keep"])).sum())
+        f1 = 2 * tp / (2 * tp + fp + fn)
+        assert f1 >= 0.99, f"keep/drop F1 {f1} below target (fp={fp}, fn={fn})"
+        # byte-identical scrubbed text per url for kept docs
+        kept = got["keep"] & want["keep"]
+        assert (got.loc[kept, "text_scrubbed"].to_numpy()
+                == want.loc[kept, "text_scrubbed"].to_numpy()).all()
+
+    def test_scrub_actually_scrubbed(self, annotated):
+        ann, _ = annotated
+        dirty = ann.filter(F.col("fail_pii_text") & F.col("keep"))
+        n = dirty.count()
+        assert n > 0
+        leak = dirty.filter(
+            F.col("text_scrubbed").rlike("@example-mail|555-123|123-45-6789")
+        ).count()
+        assert leak == 0
+        sample = dirty.select("text_scrubbed").first()[0]
+        assert "<EMAIL>" in sample and "<PHONE>" in sample
+
+    def test_metrics_single_scan_consistency(self, spark, pages, tmp_path):
+        pipe = QualityPipeline(spark)
+        out = str(tmp_path / "out")
+        ann, results = pipe.run(pages, output_path=out)
+        by_name = {r.rule_name: r for r in results}
+        assert by_name["not_null_text"].failed_records == N // 20
+        assert all(r.total_records == N for r in results)
+        assert by_name["not_null_text"].execution_plan["execution_type"] == \
+            "observed_single_scan"
+        # written output re-reads with the same keep count
+        kept_written = spark.read.parquet(out).filter("keep").count()
+        kept_direct = pipe.annotate(pages).filter("keep").count()
+        assert kept_written == kept_direct
+
+    def test_expected_keep_classes(self, spark, pages):
+        """Classes 6,7 (PII/toxic) are KEPT and scrubbed; 0-5 dropped;
+        8+ kept — checks the calibration holds exactly on this corpus."""
+        ann = QualityPipeline(spark).annotate(pages)
+        cls = F.pmod(
+            F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long"), F.lit(20))
+        rates = dict(
+            ann.groupBy(cls.alias("cls"))
+            .agg(F.avg(F.col("keep").cast("double")).alias("rate"))
+            .collect()[0:0]) if False else {
+            r["cls"]: r["rate"]
+            for r in ann.groupBy(cls.alias("cls"))
+            .agg(F.avg(F.col("keep").cast("double")).alias("rate")).collect()
+        }
+        for c in range(6):
+            assert rates[c] == 0.0, f"class {c} should drop, rate={rates[c]}"
+        for c in range(6, 20):
+            assert rates[c] == 1.0, f"class {c} should keep, rate={rates[c]}"
+
+
+class TestDomainMetrics:
+    def test_salted_two_stage_matches_plain(self, annotated):
+        ann, _ = annotated
+        salted = {r["domain"]: (r["total"], r["kept"])
+                  for r in domain_metrics(ann, n_salts=8).collect()}
+        plain = {r["domain"]: (r["n"], r["k"]) for r in (
+            ann.groupBy(F.parse_url("url", F.lit("HOST")).alias("domain"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("keep").cast("long")).alias("k")).collect())}
+        assert salted == plain
+        # skew really exists: hottest domain has ~40% of rows
+        hottest = max(t for t, _ in salted.values())
+        assert hottest > 0.3 * N
+
+
+class TestCheckpoint:
+    def test_resume_skips_done_buckets(self, spark, tmp_path):
+        from validatelite_spark.pipeline.checkpoint import (
+            read_state,
+            run_checkpointed,
+        )
+        pages = synthesize_pages(spark, 400)
+        pipe = QualityPipeline(spark)
+        out = str(tmp_path / "ckpt")
+
+        calls: list[str] = []
+        st = run_checkpointed(
+            pages, pipe.annotate, out, n_buckets=8, batch_buckets=4,
+            progress=calls.append)
+        assert len(st.done) == 8 and len(calls) == 2
+
+        total = spark.read.parquet(out).count()
+        assert total == 400
+
+        # resume: nothing left to do, no new batches
+        calls2: list[str] = []
+        st2 = run_checkpointed(
+            pages, pipe.annotate, out, n_buckets=8, batch_buckets=4,
+            progress=calls2.append)
+        assert calls2 == [] and len(st2.done) == 8
+
+    def test_partial_run_resumes_exactly(self, spark, tmp_path):
+        from validatelite_spark.pipeline.checkpoint import (
+            read_state,
+            run_checkpointed,
+        )
+        pages = synthesize_pages(spark, 400)
+        pipe = QualityPipeline(spark)
+        out = str(tmp_path / "ckpt2")
+
+        # simulate a crash after the first batch: batch size = half buckets
+        class Boom(Exception):
+            pass
+
+        count = {"batches": 0}
+
+        def failing_transform(df):
+            if count["batches"] >= 1:
+                raise Boom()
+            count["batches"] += 1
+            return pipe.annotate(df)
+
+        with pytest.raises(Boom):
+            run_checkpointed(pages, failing_transform, out,
+                             n_buckets=8, batch_buckets=4)
+        st = read_state(out, 8)
+        assert len(st.done) == 4  # first batch landed + manifested
+
+        # resume with the real transform completes the rest only
+        st2 = run_checkpointed(pages, pipe.annotate, out,
+                               n_buckets=8, batch_buckets=4)
+        assert len(st2.done) == 8
+        assert spark.read.parquet(out).count() == 400
+        # resumed output == single-shot output (determinism)
+        single = str(tmp_path / "single")
+        run_checkpointed(pages, pipe.annotate, single,
+                         n_buckets=8, batch_buckets=8)
+        a = (spark.read.parquet(out).select("url", "keep", "text_scrubbed")
+             .orderBy("url", "text_scrubbed").collect())
+        b = (spark.read.parquet(single).select("url", "keep", "text_scrubbed")
+             .orderBy("url", "text_scrubbed").collect())
+        assert a == b

@@ -21,8 +21,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: alphabet: a-z + space; everything else normalizes to space.
-_ALPHA = 27
+#: alphabet: a-z + space + "other"; common punctuation normalizes to
+#: space, every remaining char to "other" — so symbol junk lands on the
+#: rarely-seen "other" bucket and scores high perplexity instead of
+#: degenerating to whitespace.
+_ALPHA = 28
+_OTHER = 27
 
 _TRAIN_TEXT = """
 the quick growth of the web produced an enormous amount of text and much
@@ -46,11 +50,19 @@ pairs again and again while junk does not
 """
 
 
+#: bytes treated as space: whitespace + sentence punctuation.
+_SPACE_BYTES = frozenset(b" \t\n\r.,;:!?'\"")
+
+
 def _normalize_to_codes(text: str) -> np.ndarray:
-    """Map text → uint8 codes in [0, 27): a-z → 0..25, everything else → 26
-    (space), runs of space collapsed."""
+    """Map text → uint8 codes in [0, 28): a-z → 0..25, whitespace and
+    sentence punctuation → 26 (space, runs collapsed), anything else → 27
+    ("other")."""
     b = np.frombuffer(text.lower().encode("ascii", "replace"), dtype=np.uint8)
-    codes = np.where((b >= 97) & (b <= 122), b - 97, np.uint8(26)).astype(np.uint8)
+    codes = np.full(b.size, _OTHER, dtype=np.uint8)
+    codes[(b >= 97) & (b <= 122)] = b[(b >= 97) & (b <= 122)] - 97
+    is_space = np.isin(b, np.frombuffer(bytes(_SPACE_BYTES), dtype=np.uint8))
+    codes[is_space] = 26
     if codes.size:
         keep = np.ones(codes.size, dtype=bool)
         keep[1:] = ~((codes[1:] == 26) & (codes[:-1] == 26))

@@ -1,0 +1,126 @@
+"""Per-partition checkpointing with lineage — resumable runs.
+
+north_rule requirement: a killed run resumes without recomputing
+completed partitions. Mechanism (the Spark-native version of the
+reference's two-phase "metadata pass → gated data pass" shape,
+SURVEY.md §3.2):
+
+- rows are assigned a deterministic bucket ``pmod(xxhash64(url), B)`` —
+  a pure function of the data, so bucket membership is identical across
+  runs, partition counts, and cluster sizes;
+- buckets are processed in batches; each batch is one Spark job that
+  writes ``bucket=<i>/`` parquet partitions with dynamic partition
+  overwrite (idempotent on retry: a re-run of a half-written batch
+  replaces exactly its own partitions);
+- after a batch lands, a manifest JSON (one per batch, atomic rename)
+  records the finished buckets + row counts + wall time — the lineage;
+- resume = read the manifest, skip finished buckets.
+
+At cluster scale the manifest lives on the shared filesystem next to the
+output; with Iceberg in the classpath the same pattern pins a snapshot id
+per batch instead (stubbed — see sources/iceberg_support.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_vlite_manifest"
+BUCKET_COL = "__bucket"
+
+
+@dataclass
+class CheckpointState:
+    out_dir: str
+    n_buckets: int
+    done: set[int]
+
+    @property
+    def remaining(self) -> list[int]:
+        return [b for b in range(self.n_buckets) if b not in self.done]
+
+
+def _manifest_path(out_dir: str) -> Path:
+    return Path(out_dir) / MANIFEST_DIR
+
+
+def read_state(out_dir: str, n_buckets: int) -> CheckpointState:
+    done: set[int] = set()
+    mdir = _manifest_path(out_dir)
+    if mdir.exists():
+        for f in sorted(mdir.glob("batch-*.json")):
+            payload = json.loads(f.read_text())
+            if payload.get("n_buckets") != n_buckets:
+                raise ValueError(
+                    f"manifest bucket count {payload.get('n_buckets')} != "
+                    f"requested {n_buckets}; use a fresh out_dir")
+            done.update(payload["buckets"])
+    return CheckpointState(out_dir, n_buckets, done)
+
+
+def _write_manifest(out_dir: str, n_buckets: int, buckets: list[int],
+                    rows: int, elapsed: float) -> None:
+    mdir = _manifest_path(out_dir)
+    mdir.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "n_buckets": n_buckets,
+        "buckets": buckets,
+        "rows": rows,
+        "elapsed_sec": round(elapsed, 3),
+        "completed_at": time.time(),
+    }
+    tmp = mdir / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps(payload))
+    os.replace(tmp, mdir / f"batch-{min(buckets):05d}.json")
+
+
+def run_checkpointed(
+    df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    out_dir: str,
+    n_buckets: int = 64,
+    batch_buckets: int = 16,
+    key_column: str = "url",
+    progress: Optional[Callable[[str], None]] = None,
+) -> CheckpointState:
+    """Run ``transform`` over ``df`` in resumable bucket batches.
+
+    ``transform`` must be deterministic per-row (the pipeline's annotate
+    is). Output lands at ``out_dir`` partitioned by bucket; call again
+    with the same arguments after a crash and only unfinished buckets run.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    state = read_state(out_dir, n_buckets)
+    bucket = F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_buckets)).cast("int")
+    with_bucket = df.withColumn(BUCKET_COL, bucket)
+
+    remaining = state.remaining
+    for i in range(0, len(remaining), batch_buckets):
+        batch = remaining[i:i + batch_buckets]
+        t0 = time.time()
+        part = with_bucket.filter(F.col(BUCKET_COL).isin(batch))
+        result = transform(part)
+        if BUCKET_COL not in result.columns:
+            raise ValueError("transform must preserve the bucket column")
+        (result.write.mode("overwrite")
+         .partitionBy(BUCKET_COL)
+         .parquet(out_dir))
+        # count from the written batch footer-free: cheap count over batch
+        rows = spark.read.parquet(out_dir).filter(
+            F.col(BUCKET_COL).isin(batch)).count()
+        _write_manifest(out_dir, n_buckets, batch, rows, time.time() - t0)
+        state.done.update(batch)
+        if progress:
+            progress(f"buckets {batch[0]}..{batch[-1]} done "
+                     f"({len(state.done)}/{n_buckets})")
+    return state
