@@ -1,0 +1,144 @@
+"""Dedup + similarity operator tests over planted corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from validatelite_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green forest near the quiet river bank today")
+    near = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green forest near the quiet river bank tonight")
+    far = ("completely different words about cooking pasta with tomato "
+           "sauce garlic basil and olive oil in a warm kitchen at home")
+    rows = [
+        (0, base), (1, base),            # exact dup pair
+        (2, near),                        # near-dup of 0/1 (1 token differs)
+        (3, far), (4, far + " extra"),    # near-dup pair, far from base
+        (5, "tiny"),                      # too short for shingles
+        (6, None),                        # NULL text
+        (7, "unrelated singleton document with some words and letters and "
+            "nothing else in common with anything here at all thanks"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+class TestExactDedup:
+    def test_keeps_min_key_per_fingerprint(self, docs):
+        kept = dedup.exact_dedup(docs)
+        ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+        assert ids == [0, 2, 3, 4, 5, 6, 7]  # doc 1 dropped (dup of 0)
+
+    def test_dup_groups(self, docs):
+        groups = dedup.exact_dup_groups(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+
+
+class TestNgramJaccard:
+    def test_exhaustive_pairs(self, docs):
+        pairs = {(r["id1"], r["id2"]): r["jaccard"]
+                 for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+        assert (1, 2) in pairs
+        assert (3, 4) in pairs
+        assert not any(i in (5, 6, 7) or j in (5, 6, 7) for i, j in pairs)
+
+    def test_df_cap_drops_hot_shingles(self, spark):
+        # one shingle shared by everyone: df_cap excludes it
+        rows = [(i, f"common shingle here plus word{4*i} word{4*i+1} "
+                    f"word{4*i+2} word{4*i+3} tail{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with_cap = dedup.ngram_jaccard_pairs(df, threshold=0.01, df_cap=5)
+        assert with_cap.count() == 0  # only hot shingles connected them
+
+
+class TestMinHashLSH:
+    def test_matches_exhaustive(self, docs):
+        exact = {(r["id1"], r["id2"]): r["jaccard"]
+                 for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+        lsh = {(r["id1"], r["id2"]): r["jaccard"]
+               for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+        assert lsh == exact  # verified candidates == exhaustive result
+
+
+class TestSimHash:
+    def test_exact_dups_distance_zero(self, docs):
+        pairs = {(r["id1"], r["id2"]): r["distance"]
+                 for r in dedup.simhash_pairs(docs, max_distance=3).collect()}
+        assert pairs.get((0, 1)) == 0
+        # the one-token-diff near-dup sits at distance 4 on this corpus —
+        # outside radius 3, inside a widened radius
+        wide = {(r["id1"], r["id2"]): r["distance"]
+                for r in dedup.simhash_pairs(docs, max_distance=6).collect()}
+        assert wide.get((0, 2)) == 4 and wide.get((1, 2)) == 4
+        assert (0, 3) not in wide  # unrelated docs stay far apart
+
+    def test_simhash_deterministic(self, docs):
+        a = {r["k"]: r["sh"] for r in dedup.simhash_table(docs).collect()}
+        b = {r["k"]: r["sh"]
+             for r in dedup.simhash_table(docs.repartition(7)).collect()}
+        assert a == b and len(a) == 7  # NULL doc excluded
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # 20..23: tiny perturbations of vector 0 → near-dups / top neighbors
+    for j in range(4):
+        v = base[0] + 0.01 * (j + 1) * rng.standard_normal(16)
+        rows.append((20 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    # 24: exact copy of vector 0 (always shares every LSH sign bit)
+    rows.append((24, rows[0][1]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache()
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, vectors):
+        q = vectors.filter("vec_id = 0")
+        top = similarity.brute_force_topk(vectors, q, k=5).collect()
+        assert [r["query_id"] for r in top] == [0] * 5
+        neighbors = [r["neighbor_id"] for r in top]
+        assert set(neighbors) == {20, 21, 22, 23, 24}  # copy + perturbed
+        assert neighbors[0] == 24  # the exact copy ranks first (score 1.0)
+        assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+        assert all(top[i]["score"] >= top[i + 1]["score"] for i in range(4))
+
+    def test_lsh_topk_recall(self, vectors):
+        q = vectors.filter("vec_id = 0")
+        exact = {r["neighbor_id"]
+                 for r in similarity.brute_force_topk(vectors, q, k=5).collect()}
+        approx = {r["neighbor_id"]
+                  for r in similarity.lsh_topk(vectors, q, k=5,
+                                               n_planes=4).collect()}
+        # the exact copy shares every sign bit → guaranteed found
+        assert 24 in approx
+        # perturbed family recall is probabilistic (a plane near-orthogonal
+        # to v0 can flip); on this seeded corpus recall >= 3/5
+        assert len(exact & approx) >= 3
+
+    def test_embedding_cosine_pairs(self, vectors):
+        pairs = {(r["id1"], r["id2"])
+                 for r in similarity.embedding_cosine_pairs(
+                     vectors, threshold=0.99).collect()}
+        # perturbed family of vec 0 all mutually similar
+        assert (0, 20) in pairs
+        lsh_pairs = {(r["id1"], r["id2"])
+                     for r in similarity.embedding_cosine_pairs(
+                         vectors, threshold=0.99, n_planes=4).collect()}
+        # identical vectors always share a bucket; perturbed ones may not
+        assert (0, 24) in lsh_pairs
+        assert lsh_pairs <= pairs  # LSH never invents pairs

@@ -1,0 +1,102 @@
+"""Multimodal plumbing, source dispatch, and streaming tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from validatelite_spark.operators import multimodal
+from validatelite_spark.pipeline.pages import synthesize_pages
+from validatelite_spark.pipeline.quality import QualityPipeline
+from validatelite_spark.sources.reader import SourceError, read_source
+from validatelite_spark.streaming.quality_stream import windowed_keep_metrics
+
+
+class TestMultimodal:
+    def test_fake_decode_features(self, spark):
+        pages = synthesize_pages(spark, 100)
+        feats = multimodal.decode_media(pages, "html", "url").cache()
+        assert feats.schema.simpleString() == (
+            "struct<url:string,n_bytes:bigint,format:string,"
+            "features:array<float>>")
+        rows = feats.collect()
+        assert len(rows) == 100
+        assert all(r["format"] == "html" for r in rows)
+        # features are an L1-normalized 16-bin histogram
+        for r in rows[:5]:
+            assert len(r["features"]) == 16
+            assert abs(sum(r["features"]) - 1.0) < 1e-5
+        # determinism across partitionings
+        again = multimodal.decode_media(pages.repartition(7), "html", "url")
+        assert (sorted(map(tuple, rows)) ==
+                sorted(map(tuple, again.collect())))
+
+    def test_real_decoder_is_stubbed(self, spark):
+        pages = synthesize_pages(spark, 5)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(pages, decoder="image")
+
+    def test_frame_sample(self, spark):
+        pages = synthesize_pages(spark, 40)
+        frames = multimodal.frame_sample(pages, n_frames=4)
+        got = frames.groupBy("url").count().collect()
+        # 4 per row; the planted duplicate url (id=1 reuses id=0's) gets 8
+        assert sum(r["count"] for r in got) == 160
+        assert all(r["count"] in (4, 8) for r in got)
+        one = frames.filter(F.col("frame_idx") == 0).first()
+        assert bytes(one["frame_bytes"]).startswith(b"<html>")
+
+
+class TestSources:
+    def test_parquet_dispatch(self, spark, sf_dir):
+        df = read_source(spark, f"{sf_dir}/documents.parquet")
+        assert df.count() == 500
+
+    def test_csv_tsv_json_roundtrip(self, spark, tmp_path):
+        df = spark.range(10).withColumn("s", F.concat(F.lit("v"), "id"))
+        csv_p, tsv_p, json_p = (str(tmp_path / n) for n in
+                                ("t.csv", "t.tsv", "t.jsonl"))
+        df.write.options(header=True).csv(csv_p)
+        df.write.options(header=True, sep="\t").csv(tsv_p)
+        df.write.json(json_p)
+        assert read_source(spark, csv_p, format="csv").count() == 10
+        assert read_source(spark, tsv_p, format="csv", sep="\t").count() == 10
+        assert read_source(spark, json_p, format="json").count() == 10
+        # extension-based dispatch on a directory of json files
+        assert read_source(spark, json_p).count() == 10
+
+    def test_unknown_source_errors(self, spark, tmp_path):
+        with pytest.raises(SourceError):
+            read_source(spark, str(tmp_path / "nothing.xyz"))
+        with pytest.raises(SourceError):
+            read_source(spark, "mysql://host/db")  # no table=
+
+    def test_iceberg_stub_errors_cleanly(self, spark):
+        with pytest.raises(SourceError):
+            read_source(spark, "iceberg://catalog.db.tbl")
+
+
+class TestStreaming:
+    def test_windowed_keep_metrics_memory_sink(self, spark, tmp_path):
+        # batch-write pages then replay them as a file stream
+        src = str(tmp_path / "stream_src")
+        pages = synthesize_pages(spark, 400)
+        pages.write.parquet(src)
+        stream = (spark.readStream.schema(pages.schema).parquet(src))
+        pipe = QualityPipeline(spark)
+        agg = windowed_keep_metrics(pipe, stream, window="6 hours")
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName("keep_metrics").start())
+        try:
+            q.processAllAvailable()
+            got = spark.sql(
+                "select * from keep_metrics order by window_start").collect()
+        finally:
+            q.stop()
+        assert len(got) >= 2  # pages span a 30-day window
+        assert sum(r["total"] for r in got) == 400
+        # streaming totals equal the batch pipeline's totals
+        batch_kept = pipe.annotate(pages).filter("keep").count()
+        assert sum(r["kept"] for r in got) == batch_kept

@@ -140,7 +140,9 @@ def quality_score(col: Column) -> Column:
     sw = F.least(stopword_fraction(col) * F.lit(5.0), F.lit(1.0))
     dv = distinct_token_ratio(col)
     sym = F.greatest(F.lit(0.0), F.lit(1.0) - symbol_ratio(col) * F.lit(5.0))
-    return F.round((sw * 0.4 + dv * 0.3 + sym * 0.3), 6)
+    # +1e-9 breaks exact-decimal ties (e.g. 0.5203125) that Spark and
+    # other engines round differently (HALF_UP vs HALF_EVEN)
+    return F.round(sw * 0.4 + dv * 0.3 + sym * 0.3 + F.lit(1e-9), 6)
 
 
 def fingerprint(col: Column) -> Column:

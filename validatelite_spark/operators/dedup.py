@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup strategies, all pure DataFrame compositions (no Python in the
+hot path), designed for the 100 TB shape:
+
+- **exact**: md5 fingerprint of normalized text → one shuffle on the
+  16-byte digest, window row_number keeps the min-key doc. At scale the
+  shuffle key is the digest (uniform — no skew).
+- **ngram-jaccard**: word n-gram shingles → explode → self-equi-join on
+  shingle → pair-count aggregation → exact Jaccard filter. The join is an
+  equi-join on the shingle string, so Catalyst shuffles both sides by
+  shingle — and a document-frequency cap drops stop-shingles (a shingle
+  in >df_cap docs contributes O(df²) candidate pairs; capping bounds the
+  blow-up, the standard web-dedup trick).
+- **minhash-lsh**: k=bands*rows xxhash64 min-hashes per doc → band
+  buckets → candidate pairs from same-bucket docs → *exact Jaccard
+  verification* of candidates only. Output equals the exhaustive
+  n-gram-jaccard result as long as LSH recall ≈ 1 at the chosen
+  threshold (b=32,r=3 → recall 1-2e-6 at j=0.7), but the join is on tiny
+  band buckets instead of raw shingles.
+- **simhash**: 64-bit sign-aggregated token-hash fingerprint; hamming≤k
+  candidates via the 4-chunk pigeonhole banding; exact hamming verify.
+- **embedding-cosine**: near-dup pairs by cosine similarity over an
+  embedding column (see operators/similarity.py for the ANN machinery).
+
+Each strategy returns either the surviving docs or the duplicate pairs —
+both deterministic (min-key representative, sorted pair ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from validatelite_spark.functions.textquality import fingerprint, tokens
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min key) per normalized-text fingerprint.
+    NULL texts are all kept (no fingerprint)."""
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(key_col))
+    return (
+        df.withColumn("__rn",
+                      F.when(F.col(text_col).isNull(), F.lit(1))
+                      .otherwise(F.row_number().over(w)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, keep_id) for every duplicated fingerprint."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(key_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------- shingles
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (lowercased, whitespace-tokenized).
+    Docs with < n tokens produce an empty array."""
+    toks = tokens(col)
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, key_col: str,
+                   n: int) -> DataFrame:
+    """(key, shingle_set, set_size) for docs with at least one shingle."""
+    return (
+        df.select(F.col(key_col).alias("k"),
+                  shingles(F.col(text_col), n).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") > 0)
+    )
+
+
+def _pairs_from_exploded(ex: DataFrame, sizes: DataFrame,
+                         threshold: float) -> DataFrame:
+    """Common-shingle pair counts → exact Jaccard ≥ threshold pairs.
+    ``ex``: (k, s) exploded shingles; ``sizes``: (k, sz)."""
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.k") < F.col("b.k")))
+        .groupBy(F.col("a.k").alias("id1"), F.col("b.k").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("k").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("k").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(sa, "id1").join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common")
+                    / (F.col("sz1") + F.col("sz2") - F.col("common"))
+                    + F.lit(1e-9), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# --------------------------------------------------------- ngram-jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exhaustive near-dup pairs by exact n-gram Jaccard.
+
+    ``df_cap``: drop shingles appearing in more than df_cap docs before
+    pairing (bounds the candidate blow-up at web scale; None = exact)."""
+    t = _shingle_table(df, text_col, key_col, n)
+    ex = t.select("k", F.explode("sh").alias("s"))
+    if df_cap is not None:
+        hot = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > df_cap).select("s"))
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    return _pairs_from_exploded(ex, t.select("k", "sz"), threshold)
+
+
+# ----------------------------------------------------------- minhash-lsh
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 96,
+) -> DataFrame:
+    """(k, h0..h{H-1}) min-hash signature per doc: explode distinct
+    shingles once, take the min of xxhash64(shingle, seed_i) per seed —
+    one partial-aggregating groupBy, no Python."""
+    t = _shingle_table(df, text_col, key_col, n)
+    ex = t.select("k", F.explode("sh").alias("s"))
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return ex.groupBy("k").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    bands: int = 32,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Candidates come from same-(band, band-hash) buckets — a join on tiny
+    bucket keys instead of raw shingles; each candidate pair is then
+    verified with exact Jaccard so the output matches the exhaustive
+    result whenever LSH recall ≈ 1 (b=32, r=3 ⇒ miss prob ≈ 2e-6 at
+    j = 0.7)."""
+    num_hashes = bands * rows_per_band
+    sig = minhash_signatures(df, text_col, key_col, n, num_hashes).cache()
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(F.col("k"), F.lit(b).alias("band"),
+                       F.xxhash64(*cols).alias("sig")))
+    bands_df = band_rows[0]
+    for extra in band_rows[1:]:
+        bands_df = bands_df.unionByName(extra)
+    a, b_ = bands_df.alias("a"), bands_df.alias("b")
+    candidates = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.k").alias("id1"), F.col("b.k").alias("id2"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    t = _shingle_table(df, text_col, key_col, n)
+    s1 = t.select(F.col("k").alias("id1"), F.col("sh").alias("sh1"),
+                  F.col("sz").alias("sz1"))
+    s2 = t.select(F.col("k").alias("id2"), F.col("sh").alias("sh2"),
+                  F.col("sz").alias("sz2"))
+    return (
+        candidates.join(s1, "id1").join(s2, "id2")
+        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common")
+                    / (F.col("sz1") + F.col("sz2") - F.col("common"))
+                    + F.lit(1e-9), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash_table(df: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(k, sh): 64-bit SimHash per doc — per-bit sign of the sum of ±1
+    votes from each distinct token's xxhash64 bit.
+
+    Physical shape: one explode + one groupBy with 64 SUM aggregates
+    (map-side partial aggregation), then a driver-free fold of the sign
+    bits into a long. Docs with no tokens are excluded."""
+    ex = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(key_col).alias("k"),
+                F.explode(F.array_distinct(tokens(F.col(text_col))))
+                .alias("t"))
+    )
+    h = F.xxhash64(F.col("t"))
+    aggs = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = ex.groupBy("k").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseXOR(
+            F.when(F.col(f"b{i}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")))
+    return votes.select("k", sig.alias("sh"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_distance.
+
+    Pigeonhole banding: split the 64-bit hash into (max_distance+1)
+    chunks — a pair within distance k differs in at most k chunks, so it
+    agrees on at least one of k+1; candidates come from same-chunk
+    buckets, then exact hamming verifies. More chunks ⇒ wider radius but
+    smaller chunk keys (more candidates); distance <= 15 supported."""
+    n_chunks = max_distance + 1
+    assert n_chunks <= 16, "chunks need >= 4 bits each"
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = simhash_table(df, text_col, key_col).cache()
+    chunks = []
+    for c in range(n_chunks):
+        # last chunk absorbs the remainder bits
+        shift = c * chunk_bits
+        width = 64 - shift if c == n_chunks - 1 else chunk_bits
+        cmask = (1 << width) - 1 if width < 64 else -1
+        chunk = F.shiftrightunsigned(F.col("sh"), shift).bitwiseAND(
+            F.lit(cmask))
+        chunks.append(sh.select("k", "sh", F.lit(c).alias("band"),
+                                chunk.alias("chunk")))
+    banded = chunks[0]
+    for extra in chunks[1:]:
+        banded = banded.unionByName(extra)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.k").alias("id1"), F.col("b.k").alias("id2"),
+                hamming64(F.col("a.sh"), F.col("b.sh")).alias("distance"))
+        .distinct()
+        .filter(F.col("distance") <= max_distance)
+    )
