@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), plus the
+quality-filter pipeline over a synthesized pages table sized to the SF
+(sf0.1 → 100k docs). The pipeline number is the BASELINE.md headline:
+docs/sec filtered.
+
+Output:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "pipeline_docs": N, "pipeline_docs_per_sec": N, "cpus": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: queries()-registry names timed per-round (one scan each; collect() to
+#: force full materialization like the driver does)
+BENCH_QUERIES = [
+    "fused_rules",
+    "langid_counts",
+    "gopher_flags",
+    "quality_scores",
+    "token_stats",
+    "unique_source",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ann_bruteforce",
+    "embedding_pairs",
+    "events_daily",
+    "sessionize",
+    "tpch_q1",
+    "top_customers",
+    "perplexity_by_source",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    import __spark_entry__ as entry_mod
+    from validatelite_spark.pipeline import QualityPipeline, synthesize_pages
+    from validatelite_spark.session import get_spark
+
+    spark = get_spark("vlite-spark-bench", cpus=cpus)
+    spark.range(1000).count()  # JVM warmup
+
+    timings: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # pipeline throughput: docs scaled to SF (sf0.1 → 100k pages)
+    n_docs = max(int(sf * 1_000_000), 10_000)
+    pipe = QualityPipeline(spark)
+    pipe.run(synthesize_pages(spark, max(n_docs // 10, 1000),
+                              partitions=cpus * 2))  # codegen/JIT warmup
+    pages = synthesize_pages(spark, n_docs, partitions=cpus * 2)
+    t0 = time.time()
+    _, results = pipe.run(pages)  # single fused scan incl. all UDF stages
+    pipe_sec = round(time.time() - t0, 3)
+    timings["pipeline_filter"] = pipe_sec
+    kept = next(int(r.execution_message.split("kept=")[-1])
+                for r in results if "kept=" in (r.execution_message or ""))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline_docs": n_docs,
+        "pipeline_docs_kept": kept,
+        "pipeline_docs_per_sec": round(n_docs / pipe_sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -81,39 +81,62 @@ def _train_bigram_logprobs() -> np.ndarray:
 
 _LOGPROBS = _train_bigram_logprobs()
 
+
+def _build_byte_lut() -> np.ndarray:
+    lut = np.full(256, _OTHER, dtype=np.uint8)
+    for b in range(97, 123):
+        lut[b] = b - 97
+    for b in _SPACE_BYTES:
+        lut[b] = 26
+    return lut
+
+
+_BYTE_CODE_LUT = _build_byte_lut()
+
 #: Perplexity assigned to NULL / empty / single-char docs (worst case —
 #: RANGE semantics make NULL a failure).
 MAX_PPL = float(2.0 ** (-_LOGPROBS.min()))
 
 
 def perplexity_series(s: pd.Series) -> pd.Series:
-    """Vectorized char-bigram perplexity for a pandas Series of strings."""
+    """Vectorized char-bigram perplexity for a pandas Series of strings.
+
+    The whole Arrow batch is encoded doc-by-doc (C-level) but every
+    numeric step — code mapping, space-run collapse, bigram gather,
+    per-doc mean — runs ONCE over the concatenated byte buffer with a
+    doc-index vector, so per-doc Python overhead is a single .encode()."""
     vals = s.astype("string")
     n = len(vals)
     out = np.full(n, MAX_PPL, dtype=np.float64)
     notna = vals.notna().to_numpy()
-    texts = vals[notna]
-    if len(texts):
-        code_arrays = [_normalize_to_codes(t) for t in texts.tolist()]
-        lens = np.array([max(c.size - 1, 0) for c in code_arrays], dtype=np.int64)
-        valid = lens > 0
-        if valid.any():
-            cat = np.concatenate([c for c, v in zip(code_arrays, valid) if v])
-            pair_lp = _LOGPROBS[cat[:-1], cat[1:]]
-            # boundaries of each doc's bigram span inside the concatenation
-            doc_lens = np.array([c.size for c, v in zip(code_arrays, valid) if v])
-            starts = np.zeros(doc_lens.size, dtype=np.int64)
-            starts[1:] = np.cumsum(doc_lens)[:-1]
-            # bigrams that straddle doc boundaries must not count: zero them
-            mask = np.ones(pair_lp.size + 1, dtype=bool)
-            mask[starts[1:] - 1] = False
-            mask = mask[: pair_lp.size]
-            sums = np.add.reduceat(np.where(mask, pair_lp, 0.0), starts)
-            counts = np.add.reduceat(mask.astype(np.float64), starts)
-            ppl = np.power(2.0, -(sums / np.maximum(counts, 1.0)))
-            res = np.full(len(texts), MAX_PPL)
-            res[valid] = ppl
-            out[notna] = res
+    texts = vals[notna].tolist()
+    if not texts:
+        return pd.Series(out, index=s.index)
+    enc = [t.lower().encode("ascii", "replace") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    if lens.sum() == 0:
+        return pd.Series(out, index=s.index)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    doc_idx = np.repeat(np.arange(len(enc), dtype=np.int32), lens)
+    # map to codes via a 256-entry LUT (single gather, no boolean temps)
+    codes = _BYTE_CODE_LUT[buf]
+    # collapse runs of spaces WITHIN a doc
+    if codes.size > 1:
+        keep = np.empty(codes.size, dtype=bool)
+        keep[0] = True
+        np.logical_not((codes[1:] == 26) & (codes[:-1] == 26)
+                       & (doc_idx[1:] == doc_idx[:-1]), out=keep[1:])
+        codes, doc_idx = codes[keep], doc_idx[keep]
+    if codes.size > 1:
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        pair_doc = doc_idx[:-1][same_doc]
+        pair_lp = _LOGPROBS[codes[:-1][same_doc], codes[1:][same_doc]]
+        sums = np.bincount(pair_doc, weights=pair_lp, minlength=len(enc))
+        counts = np.bincount(pair_doc, minlength=len(enc))
+        res = np.where(counts > 0,
+                       np.power(2.0, -(sums / np.maximum(counts, 1))),
+                       MAX_PPL)
+        out[notna] = res
     return pd.Series(out, index=s.index)
 
 

@@ -34,8 +34,17 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
+#: Java \s whitespace set (space \t \n \x0b \f \r)
+_WS = " \t\n\x0b\f\r"
+_ALNUM = ("abcdefghijklmnopqrstuvwxyz"
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+
+
 def non_space_char_count(col: Column) -> Column:
-    return F.length(F.regexp_replace(col, "\\s+", ""))
+    # translate(col, WS, '') deletes the whitespace chars in one
+    # table-lookup pass — java.util.regex replace is ~20x slower and
+    # dominated the whole pipeline before this
+    return F.length(F.translate(col, _WS, ""))
 
 
 def mean_word_length(col: Column) -> Column:
@@ -46,11 +55,13 @@ def mean_word_length(col: Column) -> Column:
 # ---------------------------------------------------------------- ratios
 
 def symbol_ratio(col: Column) -> Column:
-    """Fraction of characters that are neither alphanumeric nor whitespace
-    (ASCII classes for oracle parity; CJK counts as symbol-free letters)."""
+    """Fraction of characters that are neither ASCII-alphanumeric nor
+    whitespace. Implemented as translate-delete of the KEEP set — length
+    of what remains IS the symbol count (one codegen'd table-lookup pass;
+    equivalent to, and ~20x faster than, regexp_replace('[^a-zA-Z0-9\\s]'))."""
     n = F.length(col)
-    kept = F.length(F.regexp_replace(col, "[^a-zA-Z0-9\\s]", ""))
-    return F.when(n > 0, (n - kept) / n).otherwise(F.lit(0.0))
+    symbols = F.length(F.translate(col, _ALNUM + _WS, ""))
+    return F.when(n > 0, symbols / n).otherwise(F.lit(0.0))
 
 
 def digit_ratio(col: Column) -> Column:
@@ -88,9 +99,20 @@ LANG_MARKERS: dict[str, list[str]] = {
 LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
 
 
+def _word_set_pattern(words: list[str]) -> str:
+    """Whole-token alternation with fixed-width lookarounds: a match is a
+    listed word bounded by whitespace or string edges — EXACTLY the count
+    of whitespace-split tokens equal to a listed word, but evaluated by
+    the codegen'd regexp engine instead of a higher-order function
+    (HigherOrderFunction is CodegenFallback: interpreted per row, which
+    re-evaluates the whole child expression tree — catastrophic when the
+    child is a generated-text projection)."""
+    return r"(?<![^\s])(?:" + "|".join(words) + r")(?![^\s])"
+
+
 def stopword_count(col: Column, words: list[str] | None = None) -> Column:
     ws = words or EN_STOPWORDS
-    return F.size(F.filter(tokens(col), lambda t: t.isin(ws)))
+    return F.regexp_count(F.lower(col), F.lit(_word_set_pattern(ws)))
 
 
 def stopword_fraction(col: Column, words: list[str] | None = None) -> Column:
@@ -109,7 +131,8 @@ def lang_score(col: Column, lang: str) -> Column:
     (a CJK char is worth one marker token)."""
     if lang == "zh":
         return cjk_char_count(col)
-    return F.size(F.filter(tokens(col), lambda t: t.isin(LANG_MARKERS[lang])))
+    return F.regexp_count(F.lower(col),
+                          F.lit(_word_set_pattern(LANG_MARKERS[lang])))
 
 
 def lang_id(col: Column) -> Column:
@@ -184,5 +207,57 @@ def gopher_fail(col: Column, params: dict | None = None) -> Column:
         | (symbol_ratio(col) > p["max_symbol_ratio"])
         | (stopword_count(col) < p["min_stopword_count"])
         | (distinct_token_ratio(col) < p["min_distinct_ratio"])
+    )
+    return F.when(col.isNull(), F.lit(True)).otherwise(viol)
+
+
+# ------------------------------------------------- token-reuse variants
+# Same semantics as the column versions above, but over a PRE-COMPUTED
+# tokens column, so a multi-rule projection (the pipeline's annotate)
+# splits the text ONCE instead of once per signal. Used by
+# pipeline/quality.py; the plain versions stay for ad-hoc single rules
+# and the DuckDB-oracle-checked query surface.
+
+def token_count_t(toks: Column) -> Column:
+    return F.size(toks)
+
+
+def mean_word_length_t(col: Column, toks: Column) -> Column:
+    n = F.size(toks)
+    return F.when(n > 0, non_space_char_count(col) / n).otherwise(F.lit(0.0))
+
+
+def stopword_count_t(col: Column, words: list[str] | None = None) -> Column:
+    # regexp_count over the raw text is codegen'd; the token-array HOF
+    # form is CodegenFallback (see _word_set_pattern)
+    return stopword_count(col, words)
+
+
+def distinct_token_ratio_t(toks: Column) -> Column:
+    n = F.size(toks)
+    return F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(1.0))
+
+
+def lang_id_t(col: Column, toks: Column) -> Column:
+    # marker scores are regexp_count over the text (codegen'd); toks is
+    # unused here but kept in the signature for call-site symmetry
+    return lang_id(col)
+
+
+def gopher_fail_t(col: Column, toks: Column,
+                  params: dict | None = None) -> Column:
+    p = dict(GOPHER_DEFAULTS)
+    if params:
+        p.update({k: v for k, v in params.items() if v is not None})
+    n_words = F.size(toks)
+    mwl = mean_word_length_t(col, toks)
+    viol = (
+        (n_words < p["min_words"])
+        | (n_words > p["max_words"])
+        | (mwl < p["min_mean_word_len"])
+        | (mwl > p["max_mean_word_len"])
+        | (symbol_ratio(col) > p["max_symbol_ratio"])
+        | (stopword_count(col) < p["min_stopword_count"])
+        | (distinct_token_ratio_t(toks) < p["min_distinct_ratio"])
     )
     return F.when(col.isNull(), F.lit(True)).otherwise(viol)

@@ -171,17 +171,22 @@ def minhash_lsh_pairs(
     result whenever LSH recall ≈ 1 (b=32, r=3 ⇒ miss prob ≈ 2e-6 at
     j = 0.7)."""
     num_hashes = bands * rows_per_band
-    sig = minhash_signatures(df, text_col, key_col, n, num_hashes).cache()
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(F.col("k"), F.lit(b).alias("band"),
-                       F.xxhash64(*cols).alias("sig")))
-    bands_df = band_rows[0]
-    for extra in band_rows[1:]:
-        bands_df = bands_df.unionByName(extra)
+    # shingles feed BOTH the signature pass and the verification join —
+    # cache once (at cluster scale: persist to disk or reuse a staged table)
+    t = _shingle_table(df, text_col, key_col, n).cache()
+    ex = t.select("k", F.explode("sh").alias("s"))
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = ex.groupBy("k").agg(*aggs)
+    # one posexplode over an array of band hashes — a single pass instead
+    # of a `bands`-way union of scans
+    band_sigs = F.array(*[
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}")
+                     for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+    bands_df = sig.select(
+        F.col("k"), F.posexplode(band_sigs).alias("band", "sig"))
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     candidates = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -190,8 +195,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.k").alias("id1"), F.col("b.k").alias("id2"))
         .distinct()
     )
-    # exact verification of candidates only
-    t = _shingle_table(df, text_col, key_col, n)
+    # exact verification of candidates only (t reused from the cache)
     s1 = t.select(F.col("k").alias("id1"), F.col("sh").alias("sh1"),
                   F.col("sz").alias("sz1"))
     s2 = t.select(F.col("k").alias("id2"), F.col("sh").alias("sh2"),

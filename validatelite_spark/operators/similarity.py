@@ -50,15 +50,20 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, score, rank), rank 1..k, ties broken
     by neighbor_id for determinism. Self-matches excluded."""
+    # norms are precomputed per vector (not per pair) — identical
+    # arithmetic to cosine(), ~3x fewer array reductions in the join
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv"),
+                       _norm(F.col(vec_col)).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
+                      F.col(vec_col).alias("cv"),
+                      _norm(F.col(vec_col)).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("cv"), F.col("qv")),
-                                     round_to))
+        .withColumn("score",
+                    F.round(_dot(F.col("cv"), F.col("qv"))
+                            / (F.col("cn") * F.col("qn")), round_to))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id"))
@@ -139,8 +144,10 @@ def embedding_cosine_pairs(
     n_planes=0 → exact all-pairs (quadratic; test scale / oracle parity).
     n_planes>0 → LSH-bucketed: only same-bucket pairs are scored (the
     100 TB path; high-cosine pairs almost always share all sign bits)."""
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                  _norm(F.col(vec_col)).alias("n1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                  _norm(F.col(vec_col)).alias("n2"))
     if n_planes > 0:
         dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, n_planes)
@@ -150,8 +157,9 @@ def embedding_cosine_pairs(
     else:
         joined = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
     return (
-        joined.withColumn("score", F.round(cosine(F.col("v1"), F.col("v2")),
-                                           round_to))
+        joined.withColumn("score",
+                          F.round(_dot(F.col("v1"), F.col("v2"))
+                                  / (F.col("n1") * F.col("n2")), round_to))
         .filter(F.col("score") >= threshold)
         .select("id1", "id2", "score")
     )

@@ -36,6 +36,8 @@ from validatelite_spark.core.results import (
     status_for,
 )
 from validatelite_spark.core.rules import Rule, RuleType, SeverityLevel
+from validatelite_spark.functions import textquality
+from validatelite_spark.functions.fused_text import fused_text_eval
 from validatelite_spark.functions.pii import scrub
 from validatelite_spark.plans.compiler import compile_rule
 
@@ -84,29 +86,87 @@ class QualityPipeline:
     # ----------------------------------------------------------- annotate
     def annotate(self, df: DataFrame) -> DataFrame:
         """One-projection annotation: fail flags + keep + scrubbed text.
-        No action is triggered; the caller writes/aggregates downstream."""
-        cfg = self.config
-        flags: dict[str, Column] = {}
-        drop_flags: list[Column] = []
-        for rule in self.rules:
-            cr = compile_rule(rule)
-            name = _flag_name(rule)
-            flags[name] = cr.fail_predicate
-            if rule.severity.value in cfg.drop_severities:
-                drop_flags.append(F.col(name))
 
-        out = df
+        Physical shape (the fused fast path, SURVEY.md §7 step 4):
+        - text is tokenized ONCE into a hidden column shared by every
+          native rule (gopher + langid would otherwise re-split per
+          signal);
+        - ALL Python-side signals (perplexity, PII hit, scrub) ride ONE
+          pandas UDF → one Arrow round-trip instead of three, and the
+          scrub regexes only run on docs the native rules + perplexity
+          kept.
+        Rules outside the standard shapes fall back to the generic
+        compiler — semantics never change, only the physical plan."""
+        cfg = self.config
+        text = F.col(cfg.text_column)
+        toks = "__toks"
+        out = df.withColumn(toks, textquality.tokens(text))
+
+        flags: dict[str, Column] = {}
+        drop_names: list[str] = []
+        ppl_rule = None
+        pii_rule = None
+        for rule in self.rules:
+            name = _flag_name(rule)
+            if rule.severity.value in cfg.drop_severities:
+                drop_names.append(name)
+            # fast paths on the shared tokens column / fused UDF
+            if (rule.type == RuleType.GOPHER
+                    and rule.column == cfg.text_column):
+                flags[name] = textquality.gopher_fail_t(
+                    text, F.col(toks), rule.parameters)
+            elif (rule.type == RuleType.LANG_ID
+                    and rule.column == cfg.text_column):
+                allowed = list(rule.parameters["allowed_langs"])
+                flags[name] = ~textquality.lang_id_t(
+                    text, F.col(toks)).isin(allowed)
+            elif (rule.type == RuleType.PERPLEXITY
+                    and rule.column == cfg.text_column
+                    and rule.parameters.get("min_ppl") is None
+                    and rule.parameters.get("max_ppl") is not None):
+                ppl_rule = rule
+                flags[name] = None  # filled from the fused struct below
+            elif (rule.type == RuleType.PII_SCRUB
+                    and rule.column == cfg.text_column):
+                pii_rule = rule
+                flags[name] = None
+            else:
+                flags[name] = compile_rule(rule).fail_predicate
+
+        # native flags first (one projection)
         for name, pred in flags.items():
-            out = out.withColumn(name, pred)
+            if pred is not None:
+                out = out.withColumn(name, pred)
+
+        native_drop = F.lit(False)
+        for name in drop_names:
+            if flags[name] is not None:
+                native_drop = native_drop | F.coalesce(F.col(name),
+                                                       F.lit(False))
+
+        fused_scrub = None
+        if ppl_rule is not None or pii_rule is not None:
+            max_ppl = (float(ppl_rule.parameters["max_ppl"])
+                       if ppl_rule else float("inf"))
+            out = out.withColumn(
+                "__fx", fused_text_eval(text, native_drop, max_ppl))
+            if ppl_rule is not None:
+                out = out.withColumn(_flag_name(ppl_rule),
+                                     F.col("__fx.ppl") > max_ppl)
+            if pii_rule is not None:
+                out = out.withColumn(_flag_name(pii_rule), F.col("__fx.pii"))
+            fused_scrub = F.col("__fx.scrubbed")
+
         keep = F.lit(True)
-        for f in drop_flags:
-            keep = keep & ~F.coalesce(f, F.lit(False))
+        for name in drop_names:
+            keep = keep & ~F.coalesce(F.col(name), F.lit(False))
         out = out.withColumn("keep", keep)
         out = out.withColumn(
             cfg.scrub_output_column,
             F.when(F.col("keep"),
-                   scrub(F.col(cfg.text_column))).otherwise(F.lit(None)))
-        return out
+                   fused_scrub if fused_scrub is not None
+                   else scrub(text)).otherwise(F.lit(None)))
+        return out.drop(toks, "__fx")
 
     def metric_exprs(self) -> list[Column]:
         cols = [F.count(F.lit(1)).alias("__total"),

@@ -15,12 +15,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: glibc malloc tuning for every Python worker (inherited via fork):
+#: keep large buffers in the heap arena instead of mmap/munmap churn —
+#: virtualized hosts charge heavily for fresh page faults, and numpy
+#: temporaries otherwise re-fault on every Arrow batch. Also pin BLAS
+#: pools to one thread: N workers x M BLAS threads oversubscribes.
+_WORKER_ENV = {
+    "MALLOC_MMAP_MAX_": "0",
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+}
+
+
 def get_spark(
     app_name: str = "vlite-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    for k, v in _WORKER_ENV.items():
+        os.environ.setdefault(k, v)
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cpus
     builder = (
@@ -35,6 +51,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    for k, v in _WORKER_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
