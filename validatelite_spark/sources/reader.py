@@ -112,3 +112,24 @@ def write_sink(df: DataFrame, path: str, fmt: str = "parquet",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     getattr(writer, fmt)(path)
+
+
+def read_excel(spark: SparkSession, path: str,
+               sheet_name: Optional[str] = None):
+    """Excel scan — the reference loads each sheet into its own table
+    (reference: cli/core/data_validator.py:339-350, 482-551). Here each
+    sheet becomes a DataFrame via pandas → Arrow → Spark (driver-side
+    read: Excel files are small by construction; a 100 TB pipeline never
+    feeds from xlsx). Requires openpyxl/xlrd — gated behind import-try
+    because this environment ships neither."""
+    try:
+        import pandas as pd  # noqa: F401 (always present)
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise SourceError(
+            f"Excel support needs openpyxl (not installed): {e}") from e
+    import pandas as pd
+    if sheet_name is not None:
+        return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet_name))
+    sheets = pd.read_excel(path, sheet_name=None)  # dict of all sheets
+    return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}
