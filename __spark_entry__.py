@@ -275,9 +275,22 @@ def _q_gopher_flags(spark, sf_dir):
     t = F.col("text")
     return df.select(
         "doc_id",
-        token_count(t).alias("n_words"),
-        stopword_count(t).alias("stop_cnt"),
+        token_count(t).cast("long").alias("n_words"),
+        stopword_count(t).cast("long").alias("stop_cnt"),
         gopher_fail(t).alias("gopher_fail"))
+
+
+def _q_distinct_candidates(spark, sf_dir):
+    """SELECT DISTINCT … LIMIT — the reference's stage-2 candidate feed
+    (reference: database_dialect.py:689-700). Deterministic: ordered."""
+    df = _read(spark, sf_dir, "documents")
+    return (df.select("lang").distinct().orderBy("lang").limit(10000))
+
+
+def _q_quality_histogram(spark, sf_dir):
+    df = _read(spark, sf_dir, "documents")
+    bucket = F.floor(quality_score(F.col("text")) * 10).alias("bucket")
+    return df.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))
 
 
 def _q_perplexity_by_source(spark, sf_dir):
@@ -452,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
         "gopher_flags": _q_gopher_flags,
+        "distinct_candidates": _q_distinct_candidates,
+        "quality_histogram": _q_quality_histogram,
         "perplexity_by_source": _q_perplexity_by_source,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -526,7 +541,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "token_stats": f"""
             SELECT source, count(*) AS docs,
-                   sum({_d_nwords(t)}) AS total_tokens,
+                   CAST(sum({_d_nwords(t)}) AS BIGINT) AS total_tokens,
                    round(avg({_d_distinct_ratio(t)}) + 1e-9, 6) AS avg_distinct_ratio
             FROM documents GROUP BY source""",
         "quality_scores": f"""
@@ -539,6 +554,12 @@ def oracle_sql() -> dict[str, str]:
                    {_d_stopword_count(t)} AS stop_cnt,
                    {_d_gopher_fail(t)} AS gopher_fail
             FROM documents""",
+        "distinct_candidates": """
+            SELECT DISTINCT lang FROM documents ORDER BY lang LIMIT 10000""",
+        "quality_histogram": f"""
+            SELECT CAST(floor({_d_quality_score(t)} * 10) AS BIGINT)
+                   AS bucket, count(*) AS n
+            FROM documents GROUP BY 1""",
         "exact_dedup": f"""
             SELECT count(*) AS kept_docs FROM (
               SELECT doc_id FROM documents WHERE text IS NULL
@@ -563,7 +584,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY score DESC, neighbor_id) AS rank
               FROM scored)
-            SELECT query_id, neighbor_id, score, rank
+            SELECT query_id, neighbor_id, score,
+                   CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 10""",
         "embedding_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -587,7 +609,7 @@ def oracle_sql() -> dict[str, str]:
                           (PARTITION BY user_id ORDER BY ts, event_id)
                           > 1800 THEN 1 ELSE 0 END AS new_sess
               FROM events)
-            SELECT user_id, sum(new_sess) + 1 AS n_sessions,
+            SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM gaps GROUP BY user_id""",
         "tpch_q1": """
@@ -611,5 +633,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY r.revenue DESC, c.c_custkey)
                      AS rank
               FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey)
-            SELECT * FROM ranked WHERE rank <= 10""",
+            SELECT c_custkey, c_name, revenue, n_orders,
+                   CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 10""",
     }

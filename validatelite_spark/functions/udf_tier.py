@@ -119,18 +119,15 @@ def invalid_float_precision(col: Column, precision: int, scale: int) -> Column:
         vals = s.astype("string").str.strip()
         out = pd.Series(False, index=s.index)
         nn = vals.notna() & (vals != "")
+        if not nn.any():
+            return out.astype(bool)
         v = vals[nn].str.lstrip("+-")
         num = pd.to_numeric(vals[nn], errors="coerce")
         bad = num.isna()
-        parts = v.str.split(".", n=1, expand=True)
-        if parts.shape[1] == 1:
-            parts[1] = None
-        int_part = parts[0].str.lstrip("0").fillna("")
-        dec_part = parts[1].fillna("").str.rstrip("0")
-        int_digits = int_part.str.len().clip(lower=0)
-        dec_digits = dec_part.str.len()
+        int_part = v.str.split(".", n=1).str[0].str.lstrip("0").fillna("")
+        dec_part = v.str.split(".", n=1).str[1].fillna("").str.rstrip("0")
         max_int = precision - scale
-        viol = (int_digits > max_int) | (dec_digits > scale)
+        viol = (int_part.str.len() > max_int) | (dec_part.str.len() > scale)
         out.loc[bad[bad].index] = True
         out.loc[viol[viol & ~bad].index] = True
         return out.astype(bool)

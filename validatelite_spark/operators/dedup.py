@@ -93,13 +93,31 @@ def _shingle_table(df: DataFrame, text_col: str, key_col: str,
 def _pairs_from_exploded(ex: DataFrame, sizes: DataFrame,
                          threshold: float) -> DataFrame:
     """Common-shingle pair counts → exact Jaccard ≥ threshold pairs.
-    ``ex``: (k, s) exploded shingles; ``sizes``: (k, sz)."""
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.k") < F.col("b.k")))
-        .groupBy(F.col("a.k").alias("id1"), F.col("b.k").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    ``ex``: (k, s) exploded shingles; ``sizes``: (k, sz).
+
+    Physical shape: instead of a shingle self-join (which amplifies hot
+    shingles quadratically THROUGH the join), group docs per shingle and
+    expand ordered pairs inside the (usually tiny) per-shingle array —
+    one groupBy(shingle) + one groupBy(pair), no join on the fat side.
+    Singleton shingles (the vast majority) never leave the first agg."""
+    per_shingle = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("k")).alias("ks"))
+        .filter(F.size("ks") > 1)
     )
+    # ordered pairs within each shingle's doc list
+    pairs = per_shingle.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.col("ks"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ks"), i + 2,
+                            F.greatest(F.size("ks") - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2"))),
+            ))
+        ).alias("p")
+    ).select(F.col("p.id1"), F.col("p.id2"))
+    common = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common"))
     sa = sizes.select(F.col("k").alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("k").alias("id2"), F.col("sz").alias("sz2"))
     return (
@@ -127,7 +145,9 @@ def ngram_jaccard_pairs(
 
     ``df_cap``: drop shingles appearing in more than df_cap docs before
     pairing (bounds the candidate blow-up at web scale; None = exact)."""
-    t = _shingle_table(df, text_col, key_col, n)
+    # the shingle table feeds the pair expansion AND both size joins —
+    # cache so the (HOF-interpreted) shingling runs once per row
+    t = _shingle_table(df, text_col, key_col, n).cache()
     ex = t.select("k", F.explode("sh").alias("s"))
     if df_cap is not None:
         hot = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
