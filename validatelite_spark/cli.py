@@ -31,9 +31,10 @@ def _fmt_table(results: list[RuleResult]) -> str:
         lines.append(f" {m} {r.rule_name:32s} {r.status.value:7s}{extra}")
     n_fail = sum(1 for r in results if r.status == ExecutionStatus.FAILED)
     n_err = sum(1 for r in results if r.status == ExecutionStatus.ERROR)
+    n_skip = sum(1 for r in results if r.status == ExecutionStatus.SKIPPED)
     lines.append(f"---\n{len(results)} rules: "
-                 f"{len(results) - n_fail - n_err} passed, "
-                 f"{n_fail} failed, {n_err} errors")
+                 f"{len(results) - n_fail - n_err - n_skip} passed, "
+                 f"{n_fail} failed, {n_err} errors, {n_skip} skipped")
     return "\n".join(lines)
 
 
@@ -112,11 +113,27 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     spark = get_spark("vlite-spark-cli", cpus=args.cpus)
     try:
-        try:
-            df = read_source(spark, args.source)
-        except SourceError as e:
-            print(f"source error: {e}", file=sys.stderr)
-            return 2
+        def _read_main():
+            try:
+                return read_source(spark, args.source)
+            except SourceError as e:
+                print(f"source error: {e}", file=sys.stderr)
+                return None
+
+        # multi-table schema payloads read per-table below; everything
+        # else reads the single source up front
+        multi_schema = False
+        if args.command == "schema":
+            decl_probe = json.loads(open(args.schema).read())
+            multi_schema = (isinstance(decl_probe, dict) and decl_probe
+                            and "rules" not in decl_probe
+                            and all(isinstance(v, dict) and "rules" in v
+                                    for v in decl_probe.values()))
+        df = None
+        if not multi_schema:
+            df = _read_main()
+            if df is None:
+                return 2
 
         if args.command == "check":
             from validatelite_spark.operators.engine import RuleEngine
@@ -125,9 +142,40 @@ def main(argv: Optional[list[str]] = None) -> int:
             return _emit(results, args.json)
 
         if args.command == "schema":
+            decl = json.loads(open(args.schema).read())
+            if isinstance(decl, dict) and "rules" in decl:
+                # single-table payload {rules: [...]} — two-phase
+                from validatelite_spark.plans.schema_payload import (
+                    run_two_phase,
+                )
+                table = args.source.rsplit("/", 1)[-1].split(".")[0]
+                if args.strict:
+                    decl["strict_mode"] = True
+                if args.case_insensitive:
+                    decl["case_insensitive"] = True
+                out = run_two_phase(spark, {table: df}, {table: decl})
+                return _emit(out[table], args.json)
+            if isinstance(decl, dict) and decl and all(
+                    isinstance(v, dict) and "rules" in v
+                    for v in decl.values()):
+                # multi-table payload {table: {rules: [...]}} — the
+                # source is a directory of <table>.parquet files
+                from validatelite_spark.plans.schema_payload import (
+                    run_two_phase,
+                )
+                dfs = {}
+                for table in decl:
+                    try:
+                        dfs[table] = read_source(
+                            spark, f"{args.source.rstrip('/')}/{table}.parquet")
+                    except Exception:
+                        dfs[table] = None  # missing table → SKIPPED rules
+                out = run_two_phase(spark, dfs, decl)
+                results = [r for rs in out.values() for r in rs]
+                return _emit(results, args.json)
+            # bare {column: type} map → plain metadata SCHEMA rule
             from validatelite_spark.core.rules import schema_rule
             from validatelite_spark.operators.engine import RuleEngine
-            decl = json.loads(open(args.schema).read())
             rule = schema_rule(decl, strict_mode=args.strict,
                                case_insensitive=args.case_insensitive)
             results = RuleEngine(spark).execute(df, [rule])
