@@ -127,6 +127,9 @@ def _d_quality_score(e: str) -> str:
     return f"round({sw} * 0.4 + {dv} * 0.3 + {sym} * 0.3 + 1e-9, 6)"
 
 
+from validatelite_spark.functions.textquality import BPE_PATTERN as _BPE_RAW
+_BPE_SQL = _BPE_RAW.replace("'", "''")
+
 _JACCARD_ORACLE = """
 WITH t AS (
   SELECT doc_id AS k,
@@ -354,6 +357,24 @@ def _q_embedding_pairs(spark, sf_dir):
     return embedding_cosine_pairs(emb, threshold=0.4, round_to=6)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # IVF-bucketed ANN with n_probe = n_centroids → identical to brute
+    # force, so the BRUTE-FORCE SQL is a valid oracle for it
+    from validatelite_spark.operators.similarity import ivf_topk
+    emb = _emb_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=10, n_centroids=8, n_probe=8)
+
+
+def _q_bpe_token_stats(spark, sf_dir):
+    from validatelite_spark.functions.textquality import bpe_token_count
+    df = _read(spark, sf_dir, "documents")
+    return (df.groupBy("lang")
+            .agg(F.sum(bpe_token_count(F.col("text")).cast("long"))
+                 .alias("bpe_tokens"),
+                 F.count(F.lit(1)).alias("docs")))
+
+
 def _q_ann_lsh(spark, sf_dir):
     # approximate (bucketed) — rows-only oracle; recall vs brute force is
     # asserted in tests/test_dedup.py
@@ -473,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
         "ann_bruteforce": _q_ann_bruteforce,
+        "ann_ivf": _q_ann_ivf,
+        "bpe_token_stats": _q_bpe_token_stats,
         "ann_lsh": _q_ann_lsh,
         "embedding_pairs": _q_embedding_pairs,
         "events_daily": _q_events_daily,
@@ -486,7 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     t = "text"
-    return {
+    out = {
         "notnull_metrics": """
             SELECT count(*) AS total_records,
                    count(*) FILTER (WHERE text IS NULL) AS failed_records
@@ -568,6 +591,12 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY {_d_fingerprint(t)})""",
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "minhash_lsh_pairs": _JACCARD_ORACLE,  # LSH+verify ≡ exhaustive
+        "bpe_token_stats": f"""
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}')))
+                        AS BIGINT) AS bpe_tokens,
+                   count(*) AS docs
+            FROM documents GROUP BY lang""",
         "ann_bruteforce": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
@@ -637,3 +666,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 10""",
     }
+    # IVF with n_probe == n_centroids is exhaustive → same oracle
+    out["ann_ivf"] = out["ann_bruteforce"]
+    return out

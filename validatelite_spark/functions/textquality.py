@@ -261,3 +261,17 @@ def gopher_fail_t(col: Column, toks: Column,
         | (distinct_token_ratio_t(toks) < p["min_distinct_ratio"])
     )
     return F.when(col.isNull(), F.lit(True)).otherwise(viol)
+
+
+# --------------------------------------------------------- BPE-ish tokens
+#: GPT-2-style pre-tokenizer pattern (public: the widely-documented
+#: gpt-2 `pat`), restricted to the subset where Java regex and RE2 agree
+#: (no lookahead): contractions | optional-space letters | numbers |
+#: punctuation runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate LLM token count via the BPE pre-tokenizer regex —
+    a codegen'd regexp_count, no Python. NULL → NULL."""
+    return F.regexp_count(col, F.lit(BPE_PATTERN))

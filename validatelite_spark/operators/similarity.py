@@ -163,3 +163,81 @@ def embedding_cosine_pairs(
         .filter(F.col("score") >= threshold)
         .select("id1", "id2", "score")
     )
+
+
+# ------------------------------------------------------------------- IVF
+def _centroids_of(corpus: DataFrame, n_centroids: int,
+                  id_col: str, vec_col: str) -> list[list[float]]:
+    """Deterministic 'coarse quantizer': the first n_centroids vectors by
+    id. A production index would k-means these; determinism matters more
+    here (resume + N-vs-4N reproducibility), and probing depth covers
+    the quantization slack."""
+    rows = (corpus.orderBy(id_col).limit(n_centroids)
+            .select(vec_col).collect())
+    return [list(r[0]) for r in rows]
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    return _dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their
+    nearest-centroid bucket ONCE (argmax of centroid dots — pure Column
+    expr); each query probes its ``n_probe`` best buckets, so search
+    touches ~n_probe/n_centroids of the corpus. ``n_probe=n_centroids``
+    degrades to exact brute force (tested).
+
+    At 100 TB the bucketed corpus is written partitioned by bucket so a
+    probe is a partition-pruned scan, and the assign step moves to a
+    pandas UDF (one matmul per Arrow batch)."""
+    cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
+    n_centroids = len(cents)
+    n_probe = min(n_probe, n_centroids)
+
+    def scores(vec: Column) -> Column:
+        return F.array(*[_dot_lit(vec, c) for c in cents])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        # argmax bucket: position of the max score (1-based → 0-based)
+        (F.array_position(scores(F.col(vec_col)),
+                          F.array_max(scores(F.col(vec_col)))) - 1)
+        .cast("int").alias("bucket"))
+
+    # queries: top n_probe buckets by centroid score
+    idxs = F.sequence(F.lit(0), F.lit(n_centroids - 1))
+    probe_list = F.slice(
+        F.reverse(F.array_sort(F.arrays_zip(
+            scores(F.col(vec_col)).alias("s"), idxs.alias("i")))),
+        1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        F.explode(F.transform(probe_list, lambda p: p["i"]))
+        .alias("bucket_raw"))
+    q = q.withColumn("bucket", F.col("bucket_raw").cast("int")) \
+         .drop("bucket_raw")
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score",
+                    F.round(_dot(F.col("cv"), F.col("qv"))
+                            / (F.col("cn") * F.col("qn")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
