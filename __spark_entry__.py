@@ -428,6 +428,27 @@ def _q_tpch_q1(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+def _q_tpch_rollup(spark, sf_dir):
+    """ROLLUP aggregation (subtotals + grand total in one pass)."""
+    _utc(spark)
+    df = _read(spark, sf_dir, "lineitem")
+    return (df.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 4).alias("qty")))
+
+
+def _q_events_pivot(spark, sf_dir):
+    """Pivot: one column per event type, counts per day."""
+    _utc(spark)
+    df = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    return (df.filter(F.col("event_type").isin(types))
+            .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                     .alias("day"))
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1))))
+
+
 def _q_top_customers(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
@@ -501,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "sessionize": _q_sessionize,
         "tpch_q1": _q_tpch_q1,
+        "tpch_rollup": _q_tpch_rollup,
+        "events_pivot": _q_events_pivot,
         "top_customers": _q_top_customers,
         "pipeline_keep": _q_pipeline_keep,
         "multimodal_features": _q_multimodal_features,
@@ -641,6 +664,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM gaps GROUP BY user_id""",
+        "tpch_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 4) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "events_pivot": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')
+            GROUP BY 1""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
