@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ann_bruteforce",
+    "ann_ivf",
+    "bpe_token_stats",
+    "quality_histogram",
+    "tpch_rollup",
+    "events_pivot",
     "embedding_pairs",
     "events_daily",
     "sessionize",

@@ -60,6 +60,9 @@ def _emit(results: list[RuleResult], as_json: bool) -> int:
 def main(argv: Optional[list[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="vlite-spark")
     parser.add_argument("--cpus", type=int, default=None)
+    parser.add_argument("--config", default=None,
+                        help="TOML engine config (merge/sample settings, "
+                             "mirroring the reference's core.toml)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_check = sub.add_parser("check", help="run inline/file rules")
@@ -136,8 +139,19 @@ def main(argv: Optional[list[str]] = None) -> int:
                 return 2
 
         if args.command == "check":
-            from validatelite_spark.operators.engine import RuleEngine
-            results = RuleEngine(spark).execute(
+            from validatelite_spark.operators.engine import (
+                EngineConfig,
+                RuleEngine,
+            )
+            cfg = None
+            if args.config:
+                import tomllib
+                with open(args.config, "rb") as fh:
+                    payload = tomllib.load(fh)
+                allowed = set(EngineConfig.__dataclass_fields__)
+                cfg = EngineConfig(**{k: v for k, v in payload.items()
+                                      if k in allowed})
+            results = RuleEngine(spark, cfg).execute(
                 df, rules, table_name=args.table or args.source)
             return _emit(results, args.json)
 
