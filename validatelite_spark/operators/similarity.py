@@ -112,15 +112,18 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"),
+                      _norm(F.col(vec_col)).alias("cn"),
                       lsh_signature(F.col(vec_col), planes).alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
+                       _norm(F.col(vec_col)).alias("qn"),
                        lsh_signature(F.col(vec_col), planes).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("cv"), F.col("qv")),
-                                     round_to))
+        .withColumn("score",
+                    F.round(_dot(F.col("cv"), F.col("qv"))
+                            / (F.col("cn") * F.col("qn")), round_to))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id"))
