@@ -152,7 +152,7 @@ SELECT c.id1, c.id2,
 FROM common c
 JOIN sized sa ON sa.k = c.id1
 JOIN sized sb ON sb.k = c.id2
-WHERE c.common * 1.0 / (sa.sz + sb.sz - c.common) >= 0.5
+WHERE round(c.common * 1.0 / (sa.sz + sb.sz - c.common) + 1e-9, 6) >= 0.5
 """.replace("{toks}", _d_tokens("text"))
 
 
@@ -446,7 +446,10 @@ def _q_events_pivot(spark, sf_dir):
             .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
                      .alias("day"))
             .pivot("event_type", types)
-            .agg(F.count(F.lit(1))))
+            .agg(F.count(F.lit(1)))
+            # a (day, type) combo with no rows pivots to NULL in Spark but
+            # 0 under the oracle's count FILTER — make 0 explicit
+            .na.fill(0, types))
 
 
 def _q_top_customers(spark, sf_dir):

@@ -28,7 +28,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     from validatelite_spark.pipeline.checkpoint import run_checkpointed
-    from validatelite_spark.pipeline.quality import QualityPipeline
+    from validatelite_spark.pipeline.quality import QualityPipeline, _flag_name
     from validatelite_spark.sources.reader import read_source
 
     df = read_source(spark, input_path)
@@ -47,8 +47,10 @@ def main() -> int:
     print(f"[metrics] kept {kept}/{total}")
     rows = []
     for rule in pipe.rules:
-        flag = "fail_" + rule.name
-        failed = int(row.get(flag) or 0)
+        # the sanitized flag name quality.annotate actually wrote; fail
+        # loudly (KeyError) if absent instead of silently reporting 0
+        flag = _flag_name(rule)
+        failed = int(row[flag] or 0)
         rows.append((rule.id, rule.name, rule.type.value,
                      "PASSED" if failed == 0 else "FAILED",
                      total, failed))

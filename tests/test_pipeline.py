@@ -82,6 +82,32 @@ class TestKeepDropParity:
         sample = dirty.select("text_scrubbed").first()[0]
         assert "<EMAIL>" in sample and "<PHONE>" in sample
 
+    def test_non_dropping_perplexity_still_scrubs(self, spark, pages):
+        """A PERPLEXITY rule outside drop_severities must NOT gate the
+        scrub: a kept doc with ppl > max_ppl still gets text_scrubbed
+        (ADVICE r1 — the fused UDF used to fold the ppl threshold into
+        its internal keep unconditionally)."""
+        from validatelite_spark.core.rules import Rule, RuleType, SeverityLevel
+        cfg = PipelineConfig()
+        rules = [
+            Rule(RuleType.NOT_NULL, "text", name="not_null_text",
+                 severity=SeverityLevel.CRITICAL),
+            Rule(RuleType.PERPLEXITY, "text", {"max_ppl": cfg.max_ppl},
+                 name="perplexity_text", severity=SeverityLevel.LOW),
+            Rule(RuleType.PII_SCRUB, "text", name="pii_text",
+                 severity=SeverityLevel.LOW),
+        ]
+        ann = QualityPipeline(spark, cfg, rules).annotate(pages).cache()
+        hi = ann.filter(F.col("fail_perplexity_text") & F.col("keep"))
+        n_hi = hi.count()
+        assert n_hi > 0  # junk/boiler classes have ppl > max_ppl, kept here
+        assert hi.filter(F.col("text_scrubbed").isNull()).count() == 0
+        # and clean kept docs scrub to themselves
+        clean = ann.filter(F.col("keep") & ~F.col("fail_pii_text"))
+        assert clean.filter(
+            F.col("text_scrubbed") != F.col("text")).count() == 0
+        ann.unpersist()
+
     def test_metrics_single_scan_consistency(self, spark, pages, tmp_path):
         pipe = QualityPipeline(spark)
         out = str(tmp_path / "out")

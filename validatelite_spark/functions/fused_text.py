@@ -34,14 +34,22 @@ FUSED_SCHEMA = T.StructType([
 
 
 def fused_text_eval(text: Column, native_drop: Column,
-                    max_ppl: float) -> Column:
-    """Struct column (ppl, pii, scrubbed) in one vectorized pass."""
+                    max_ppl: float, ppl_drops: bool = True) -> Column:
+    """Struct column (ppl, pii, scrubbed) in one vectorized pass.
+
+    ``ppl_drops``: whether the PERPLEXITY rule is a *dropping* rule (its
+    severity is in drop_severities). When False, a doc with ppl > max_ppl
+    is still kept — so the scrub must still run for it; folding the ppl
+    threshold into the internal keep unconditionally would silently NULL
+    the scrub output for kept docs."""
 
     @F.pandas_udf(FUSED_SCHEMA)
     def _eval(s: pd.Series, drop: pd.Series) -> pd.DataFrame:
         ppl = perplexity_series(s)
         pii = hit_series(s)
-        keep = (~drop.fillna(True).astype(bool)) & (ppl <= max_ppl)
+        keep = ~drop.fillna(True).astype(bool)
+        if ppl_drops:
+            keep &= ppl <= max_ppl
         scrubbed = pd.Series([None] * len(s), index=s.index, dtype="object")
         # kept docs with NO pattern hit scrub to themselves — skip the
         # substitution passes for them (byte-identical by definition)

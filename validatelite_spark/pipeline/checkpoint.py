@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_vlite_manifest"
@@ -99,7 +99,6 @@ def run_checkpointed(
     with the same arguments after a crash and only unfinished buckets run.
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     state = read_state(out_dir, n_buckets)
     bucket = F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_buckets)).cast("int")
     with_bucket = df.withColumn(BUCKET_COL, bucket)
@@ -112,12 +111,16 @@ def run_checkpointed(
         result = transform(part)
         if BUCKET_COL not in result.columns:
             raise ValueError("transform must preserve the bucket column")
-        (result.write.mode("overwrite")
+        # row count rides the write via Observation (no second scan), and
+        # dynamic partition-overwrite is set per-write so the shared
+        # session's conf is never mutated (ADVICE r1)
+        obs = Observation(f"ckpt_batch_{batch[0]}")
+        (result.observe(obs, F.count(F.lit(1)).alias("rows"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
          .partitionBy(BUCKET_COL)
          .parquet(out_dir))
-        # count from the written batch footer-free: cheap count over batch
-        rows = spark.read.parquet(out_dir).filter(
-            F.col(BUCKET_COL).isin(batch)).count()
+        rows = int(obs.get["rows"])
         _write_manifest(out_dir, n_buckets, batch, rows, time.time() - t0)
         state.done.update(batch)
         if progress:

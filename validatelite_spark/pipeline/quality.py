@@ -148,8 +148,15 @@ class QualityPipeline:
         if ppl_rule is not None or pii_rule is not None:
             max_ppl = (float(ppl_rule.parameters["max_ppl"])
                        if ppl_rule else float("inf"))
+            # only fold the ppl threshold into the fused keep when the
+            # PERPLEXITY rule actually drops (its severity is in
+            # drop_severities) — otherwise a kept doc with ppl > max_ppl
+            # would silently lose its scrub output (ADVICE r1)
+            ppl_drops = (ppl_rule is not None
+                         and ppl_rule.severity.value in cfg.drop_severities)
             out = out.withColumn(
-                "__fx", fused_text_eval(text, native_drop, max_ppl))
+                "__fx", fused_text_eval(text, native_drop, max_ppl,
+                                        ppl_drops=ppl_drops))
             if ppl_rule is not None:
                 out = out.withColumn(_flag_name(ppl_rule),
                                      F.col("__fx.ppl") > max_ppl)
