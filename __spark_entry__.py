@@ -376,12 +376,22 @@ def _q_bpe_token_stats(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # approximate (bucketed) — rows-only oracle; recall vs brute force is
-    # asserted in tests/test_dedup.py
+    # approximate (bucketed, multi-probe) — rows-only oracle; recall vs
+    # brute force is asserted in tests/test_dedup.py
     from validatelite_spark.operators.similarity import lsh_topk
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, q, k=10, n_planes=6)
+    return lsh_topk(emb, q, k=10, n_planes=6, n_tables=8, dim=64)
+
+
+def _q_embedding_pairs_lsh(spark, sf_dir):
+    # the 100 TB path for near-dup pairs: LSH-bucketed (no all-pairs
+    # crossJoin) — approximate, so rows-only oracle; recall vs the exact
+    # result is asserted in tests/test_dedup.py
+    from validatelite_spark.operators.similarity import embedding_cosine_pairs
+    emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 800)
+    return embedding_cosine_pairs(emb, threshold=0.4, round_to=6,
+                                  n_planes=4, n_tables=16, dim=64)
 
 
 # ------------------------------------------------------- events queries
@@ -522,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "ann_lsh": _q_ann_lsh,
         "embedding_pairs": _q_embedding_pairs,
+        "embedding_pairs_lsh": _q_embedding_pairs_lsh,
         "events_daily": _q_events_daily,
         "sessionize": _q_sessionize,
         "tpch_q1": _q_tpch_q1,

@@ -58,6 +58,25 @@ class TestNgramJaccard:
         with_cap = dedup.ngram_jaccard_pairs(df, threshold=0.01, df_cap=5)
         assert with_cap.count() == 0  # only hot shingles connected them
 
+    def test_default_df_cap_bounds_hot_shingle_expansion(self, spark):
+        """A stop-shingle present in > DEFAULT_DF_CAP docs must be dropped
+        by DEFAULT (no df_cap argument): without the cap one
+        collect_list array would hold every containing doc id and one
+        task would expand O(df²) ≈ 50M pairs; with it the per-shingle
+        doc lists stay bounded by construction."""
+        n = dedup.DEFAULT_DF_CAP + 50
+        docs = spark.range(n).selectExpr(
+            "id AS doc_id",
+            "concat('hot stop shingle u', id, ' v', id, ' w', id) AS text")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.01)
+        # every doc's non-hot shingles are unique → the hot shingle was
+        # the only connector, and it was dropped
+        assert pairs.count() == 0
+        # exactness preserved below the cap: same corpus, higher cap
+        some = dedup.ngram_jaccard_pairs(
+            docs.limit(20), threshold=0.01, df_cap=None)
+        assert some.count() > 0  # the hot shingle connects them uncapped
+
 
 class TestMinHashLSH:
     def test_matches_exhaustive(self, docs):
@@ -66,6 +85,15 @@ class TestMinHashLSH:
         lsh = {(r["id1"], r["id2"]): r["jaccard"]
                for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
         assert lsh == exact  # verified candidates == exhaustive result
+
+    def test_verify_stage_has_no_fat_array_join(self, docs):
+        """The exact-Jaccard verification must re-derive common counts
+        from the exploded (k, shingle) table — shuffling full shingle
+        ARRAYS per candidate pair (array_intersect) is the wrong shape at
+        scale."""
+        plan = (dedup.minhash_lsh_pairs(docs, threshold=0.5)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert "array_intersect" not in plan
 
 
 class TestSimHash:
@@ -123,12 +151,44 @@ class TestSimilarity:
                  for r in similarity.brute_force_topk(vectors, q, k=5).collect()}
         approx = {r["neighbor_id"]
                   for r in similarity.lsh_topk(vectors, q, k=5,
-                                               n_planes=4).collect()}
-        # the exact copy shares every sign bit → guaranteed found
+                                               n_planes=4, dim=16).collect()}
+        # the exact copy shares every sign bit in every table → found
         assert 24 in approx
-        # perturbed family recall is probabilistic (a plane near-orthogonal
-        # to v0 can flip); on this seeded corpus recall >= 3/5
-        assert len(exact & approx) >= 3
+        # multi-probe + 4 OR-amplified tables: full recall of the
+        # perturbed family on this seeded corpus
+        assert len(exact & approx) >= 4
+
+    def test_lsh_topk_amplified_recall_real_embeddings(self, spark, sf_dir):
+        """Registered-query config (b=6, L=8, multi-probe) on the sf0.001
+        embeddings: ≥0.85 recall of the exact top-10 — these neighbors
+        sit at cosine ≈0.5 (no planted clusters), the hard LSH case.
+        Deterministic: seeded planes + fixed data."""
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .withColumn("embedding",
+                           F.col("embedding").cast("array<double>")))
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in
+                 similarity.brute_force_topk(emb, q, k=10).collect()}
+        approx = {(r["query_id"], r["neighbor_id"]) for r in
+                  similarity.lsh_topk(emb, q, k=10, n_planes=6,
+                                      n_tables=8, dim=64).collect()}
+        assert len(exact & approx) / len(exact) >= 0.85
+
+    def test_embedding_pairs_lsh_recall(self, spark, sf_dir):
+        """Registered embedding_pairs_lsh config (b=4, L=16) recalls
+        ≥0.95 of the exact cosine≥0.4 pairs and never invents one."""
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .withColumn("embedding",
+                           F.col("embedding").cast("array<double>")))
+        exact = {(r["id1"], r["id2"]) for r in
+                 similarity.embedding_cosine_pairs(
+                     emb, threshold=0.4).collect()}
+        lsh = {(r["id1"], r["id2"]) for r in
+               similarity.embedding_cosine_pairs(
+                   emb, threshold=0.4, n_planes=4, n_tables=16,
+                   dim=64).collect()}
+        assert lsh <= exact
+        assert len(exact & lsh) / len(exact) >= 0.95
 
     def test_embedding_cosine_pairs(self, vectors):
         pairs = {(r["id1"], r["id2"])

@@ -29,10 +29,23 @@ both deterministic (min-key representative, sorted pair ids).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from validatelite_spark.functions.textquality import fingerprint, tokens
+
+logger = logging.getLogger(__name__)
+
+#: default document-frequency cap: a shingle present in more docs than
+#: this is a stop-shingle ("click here to …") and is dropped before pair
+#: expansion — one such shingle at web scale otherwise collects ALL its
+#: doc ids into one collect_list array and expands O(df²) pairs inside a
+#: single task. 10k is ~400x above the max df observed in the sf0.1
+#: corpus (25), so small-scale results are exact while the 100 TB path
+#: is bounded by construction.
+DEFAULT_DF_CAP = 10_000
 
 
 # ------------------------------------------------------------------ exact
@@ -118,6 +131,12 @@ def _pairs_from_exploded(ex: DataFrame, sizes: DataFrame,
         ).alias("p")
     ).select(F.col("p.id1"), F.col("p.id2"))
     common = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common"))
+    return _jaccard_from_common(common, sizes, threshold)
+
+
+def _jaccard_from_common(common: DataFrame, sizes: DataFrame,
+                         threshold: float) -> DataFrame:
+    """(id1, id2, common) + (k, sz) → exact Jaccard ≥ threshold pairs."""
     sa = sizes.select(F.col("k").alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("k").alias("id2"), F.col("sz").alias("sz2"))
     return (
@@ -139,12 +158,18 @@ def ngram_jaccard_pairs(
     key_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.7,
-    df_cap: int | None = None,
+    df_cap: int | None = DEFAULT_DF_CAP,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Exhaustive near-dup pairs by exact n-gram Jaccard.
 
     ``df_cap``: drop shingles appearing in more than df_cap docs before
-    pairing (bounds the candidate blow-up at web scale; None = exact)."""
+    pairing — ON by default (DEFAULT_DF_CAP): a web-scale stop-shingle
+    otherwise expands O(df²) pairs in one task. Pass None for the exact
+    uncapped variant (oracle anchor / tiny inputs only).
+    ``log_dropped``: when capping, count and log the dropped stop-shingles
+    (one cheap extra agg over the cached shingle table) — silent
+    truncation would read as full coverage."""
     # the shingle table feeds the pair expansion AND both size joins —
     # cache so the (HOF-interpreted) shingling runs once per row
     t = _shingle_table(df, text_col, key_col, n).cache()
@@ -152,6 +177,12 @@ def ngram_jaccard_pairs(
     if df_cap is not None:
         hot = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > df_cap).select("s"))
+        if log_dropped:
+            n_hot = hot.count()
+            if n_hot:
+                logger.warning(
+                    "ngram_jaccard_pairs: dropped %d stop-shingles with "
+                    "doc frequency > %d before pairing", n_hot, df_cap)
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
     return _pairs_from_exploded(ex, t.select("k", "sz"), threshold)
 
@@ -215,22 +246,20 @@ def minhash_lsh_pairs(
         .select(F.col("a.k").alias("id1"), F.col("b.k").alias("id2"))
         .distinct()
     )
-    # exact verification of candidates only (t reused from the cache)
-    s1 = t.select(F.col("k").alias("id1"), F.col("sh").alias("sh1"),
-                  F.col("sz").alias("sz1"))
-    s2 = t.select(F.col("k").alias("id2"), F.col("sh").alias("sh2"),
-                  F.col("sz").alias("sz2"))
-    return (
-        candidates.join(s1, "id1").join(s2, "id2")
-        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common")
-                    / (F.col("sz1") + F.col("sz2") - F.col("common"))
-                    + F.lit(1e-9), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+    # exact verification of candidates only: common-shingle counts are
+    # re-derived from the exploded (k, shingle) table joined onto the
+    # candidate pairs — only ids + shingle strings shuffle. (The previous
+    # shape joined the full shingle ARRAYS onto every pair: two shuffles
+    # of fat arrays plus an array_intersect per pair — wasteful when the
+    # exploded table already exists for the signature pass.)
+    e1 = ex.select(F.col("k").alias("id1"), "s")
+    e2 = ex.select(F.col("k").alias("id2"), "s")
+    common = (
+        candidates.join(e1, "id1")          # pair × its id1 shingles
+        .join(e2, ["id2", "s"])             # keep shingles id2 also has
+        .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common"))
     )
+    return _jaccard_from_common(common, t.select("k", "sz"), threshold)
 
 
 # ---------------------------------------------------------------- simhash

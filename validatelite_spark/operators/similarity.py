@@ -6,11 +6,11 @@
   with a window. One shuffle (the per-query top-k window); the scan side
   never shuffles. This is the right plan at any corpus size as long as
   the query set stays broadcastable.
-- **Random-hyperplane LSH top-k** — the scale path: H deterministic
-  hyperplanes (seeded xxhash64-derived pseudo-gaussians) give each
-  vector an H-bit signature; vectors sharing a signature prefix land in
-  one bucket, and search touches only the query's bucket (multi-probe =
-  also neighboring buckets by flipping low bits). Approximate: recall
+- **Random-hyperplane LSH top-k** — the scale path: L independent hash
+  tables of b sign bits each (OR-amplification); a pair is a candidate
+  if it collides in any table, and each query additionally probes the b
+  single-bit-flip buckets per table (multi-probe). Candidate id pairs
+  dedup across tables before any cosine is computed. Approximate: recall
   measured against brute force in the tests.
 - **embedding_cosine_pairs** — near-duplicate pairs (cosine >= t) used by
   the dedup suite.
@@ -95,6 +95,11 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _table_signatures(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """array<long> — one LSH signature per hash table."""
+    return F.array(*[lsh_signature(vec, planes) for planes in tables])
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -104,23 +109,63 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     round_to: int = 6,
+    dim: int | None = None,
+    multi_probe: bool = True,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket
-    are scored. With n_planes=8 the corpus splits into ≤256 buckets —
-    ~256× less work per query than brute force, recall measured in tests."""
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"),
-                      _norm(F.col(vec_col)).alias("cn"),
-                      lsh_signature(F.col(vec_col), planes).alias("bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"),
-                       _norm(F.col(vec_col)).alias("qn"),
-                       lsh_signature(F.col(vec_col), planes).alias("bucket"))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    """Approximate top-k with OR-amplified random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each:
+    a corpus vector is indexed once per table (the standard L× storage
+    tradeoff); a (query, vector) pair is a candidate if they collide in
+    ANY table — recall 1-(1-p^b)^L instead of the single-table p^b, where
+    p = 1 - angle/π. ``multi_probe``: each query also probes the b
+    single-bit-flip buckets per table (near misses usually differ in
+    exactly the one plane that splits them).
+
+    Physical shape: the bucket join carries only ids; candidate pairs are
+    deduped ACROSS tables before any cosine is computed, then vectors are
+    joined back by id — so the L-fold index never multiplies the scoring
+    work. ``dim``: pass the embedding dimensionality to avoid a
+    driver-side ``first()`` job at plan-construction time."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    tables = [_hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
+
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cv"),
+                           _norm(F.col(vec_col)).alias("cn"))
+    c_idx = c_vecs.select(
+        "neighbor_id",
+        F.posexplode(_table_signatures(F.col("cv"), tables))
+        .alias("table", "bucket"))
+
+    q_vecs = queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("qv"),
+                            _norm(F.col(vec_col)).alias("qn"))
+    probes = []
+    for t in range(n_tables):
+        sig = lsh_signature(F.col("qv"), tables[t])
+        buckets = [sig]
+        if multi_probe:
+            buckets += [sig.bitwiseXOR(F.lit(1 << i).cast("long"))
+                        for i in range(n_planes)]
+        probes += [F.struct(F.lit(t).alias("table"), b.alias("bucket"))
+                   for b in buckets]
+    q_idx = q_vecs.select(
+        "query_id", F.explode(F.array(*probes)).alias("p")
+    ).select("query_id", F.col("p.table"), F.col("p.bucket"))
+
+    candidates = (
+        c_idx.join(F.broadcast(q_idx), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
         .withColumn("score",
                     F.round(_dot(F.col("cv"), F.col("qv"))
                             / (F.col("cn") * F.col("qn")), round_to))
@@ -141,22 +186,43 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     n_planes: int = 0,
     round_to: int = 6,
+    dim: int | None = None,
+    n_tables: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs with cosine >= threshold.
 
     n_planes=0 → exact all-pairs (quadratic; test scale / oracle parity).
-    n_planes>0 → LSH-bucketed: only same-bucket pairs are scored (the
-    100 TB path; high-cosine pairs almost always share all sign bits)."""
+    n_planes>0 → OR-amplified LSH: ``n_tables`` independent tables of
+    ``n_planes`` sign bits; a pair is a candidate if it collides in ANY
+    table (recall 1-(1-p^b)^L, p = 1 - angle/π). Candidate id pairs are
+    deduped across tables BEFORE any cosine is computed, then vectors
+    join back by id — the 100 TB path: no all-pairs crossJoin, shuffles
+    carry ids + 64 signature bits, and scoring touches candidates only.
+    At near-dup thresholds (≥0.9, p≈0.86) b=8/L=16 gives recall ≈0.996
+    while pruning ~94% of random pairs; lower thresholds need smaller b
+    (the default b=4/L=16 reaches ≈0.94 recall at cosine 0.4).
+    ``dim``: pass the embedding dimensionality to avoid a driver-side
+    ``first()`` job at plan time."""
     a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
                   _norm(F.col(vec_col)).alias("n1"))
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
                   _norm(F.col(vec_col)).alias("n2"))
     if n_planes > 0:
-        dim = len(df.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, n_planes)
-        a = a.withColumn("bucket", lsh_signature(F.col("v1"), planes))
-        b = b.withColumn("bucket", lsh_signature(F.col("v2"), planes))
-        joined = a.join(b, "bucket").filter(F.col("id1") < F.col("id2"))
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        tables = [_hyperplanes(dim, n_planes, seed + 7919 * t)
+                  for t in range(n_tables)]
+        idx = df.select(
+            F.col(id_col).alias("k"),
+            F.posexplode(_table_signatures(F.col(vec_col), tables))
+            .alias("table", "bucket"))
+        i1 = idx.select(F.col("k").alias("id1"), "table", "bucket")
+        i2 = idx.select(F.col("k").alias("id2"), "table", "bucket")
+        candidates = (i1.join(i2, ["table", "bucket"])
+                      .filter(F.col("id1") < F.col("id2"))
+                      .select("id1", "id2").distinct())
+        joined = candidates.join(a, "id1").join(b, "id2")
     else:
         joined = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
     return (
