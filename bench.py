@@ -10,7 +10,13 @@ docs/sec filtered.
 Output:
   {"metric": "total_bench_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1,
-   "pipeline_docs": N, "pipeline_docs_per_sec": N, "cpus": N}
+   "pipeline_docs": N, "pipeline_docs_per_sec": N, "cpus": N,
+   "steal_sec": N, "queries_steal": {...}, "pipeline_steal_sec": N}
+
+Steal accounting (BENCH.md rule 5): this host has bursty CPU steal —
+identical jobs have measured 36 s → 267 s swings. Every timed segment
+records the /proc/stat col-9 (steal ticks) delta so a cross-round
+regression can be adjudicated as real vs. a noisy-neighbor window.
 """
 
 from __future__ import annotations
@@ -21,6 +27,22 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _steal_ticks() -> int:
+    """Aggregate steal ticks (col 9 of the 'cpu' line) — 0 if unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _steal_sec(since_ticks: int) -> float:
+    return round((_steal_ticks() - since_ticks) / _CLK_TCK, 3)
 
 #: queries()-registry names timed per-round (one scan each; collect() to
 #: force full materialization like the driver does)
@@ -42,6 +64,7 @@ BENCH_QUERIES = [
     "tpch_rollup",
     "events_pivot",
     "embedding_pairs",
+    "embedding_pairs_lsh",
     "events_daily",
     "sessionize",
     "tpch_q1",
@@ -63,11 +86,14 @@ def main() -> None:
     spark.range(1000).count()  # JVM warmup
 
     timings: dict[str, float] = {}
+    steals: dict[str, float] = {}
+    bench_steal0 = _steal_ticks()
     qs = entry_mod.queries()
     for name in BENCH_QUERIES:
-        t0 = time.time()
+        t0, s0 = time.time(), _steal_ticks()
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+        steals[name] = _steal_sec(s0)
 
     # pipeline throughput: docs scaled to SF (sf0.1 → 100k pages)
     n_docs = max(int(sf * 1_000_000), 10_000)
@@ -77,13 +103,16 @@ def main() -> None:
     # best-of-2: the host has bursty CPU steal (BENCH.md); one bad
     # window would otherwise dominate the recorded per-round number
     pipe_sec = None
+    pipe_steal = None
     for _ in range(2):
         pages = synthesize_pages(spark, n_docs, partitions=cpus * 2)
-        t0 = time.time()
+        t0, s0 = time.time(), _steal_ticks()
         _, results = pipe.run(pages)  # one fused scan incl. UDF stages
         el = round(time.time() - t0, 3)
-        pipe_sec = el if pipe_sec is None else min(pipe_sec, el)
+        if pipe_sec is None or el < pipe_sec:
+            pipe_sec, pipe_steal = el, _steal_sec(s0)
     timings["pipeline_filter"] = pipe_sec
+    steals["pipeline_filter"] = pipe_steal
     kept = next(int(r.execution_message.split("kept=")[-1])
                 for r in results if "kept=" in (r.execution_message or ""))
 
@@ -98,6 +127,9 @@ def main() -> None:
         "pipeline_docs": n_docs,
         "pipeline_docs_kept": kept,
         "pipeline_docs_per_sec": round(n_docs / pipe_sec, 1),
+        "steal_sec": _steal_sec(bench_steal0),
+        "queries_steal": steals,
+        "pipeline_steal_sec": pipe_steal,
     }))
     spark.stop()
 
