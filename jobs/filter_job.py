@@ -36,6 +36,7 @@ def main() -> int:
     state = run_checkpointed(
         df, pipe.annotate, output_path,
         n_buckets=n_buckets, batch_buckets=batch_buckets,
+        input_source=input_path,  # snapshot/fingerprint pin per manifest
         progress=lambda m: print(f"[checkpoint] {m}", flush=True))
     print(f"[done] {len(state.done)}/{n_buckets} buckets at {output_path}")
 

@@ -183,6 +183,62 @@ class TestCheckpoint:
             progress=calls2.append)
         assert calls2 == [] and len(st2.done) == 8
 
+    def test_resume_refuses_on_input_drift(self, spark, tmp_path):
+        """north_rule per-snapshot lineage: a resumed run must read the
+        SAME input version the finished buckets were computed from —
+        a changed parquet file set (or Iceberg snapshot) raises."""
+        import time as _time
+
+        from validatelite_spark.pipeline.checkpoint import run_checkpointed
+        from validatelite_spark.sources.iceberg_support import (
+            InputDriftError,
+            parquet_fingerprint,
+        )
+        src = str(tmp_path / "input")
+        synthesize_pages(spark, 200).write.parquet(src)
+        fp0 = parquet_fingerprint(src)
+        assert parquet_fingerprint(src) == fp0  # deterministic
+
+        pages = spark.read.parquet(src)
+        pipe = QualityPipeline(spark)
+        out = str(tmp_path / "drift")
+
+        # crash after the first batch
+        count = {"batches": 0}
+
+        def failing(df):
+            if count["batches"] >= 1:
+                raise RuntimeError("boom")
+            count["batches"] += 1
+            return pipe.annotate(df)
+
+        with pytest.raises(RuntimeError):
+            run_checkpointed(pages, failing, out, n_buckets=8,
+                             batch_buckets=4, input_source=src)
+
+        # input advances under the half-finished run
+        _time.sleep(0.01)
+        synthesize_pages(spark, 300).write.mode("overwrite").parquet(src)
+        assert parquet_fingerprint(src) != fp0
+        pages2 = spark.read.parquet(src)
+        with pytest.raises(InputDriftError):
+            run_checkpointed(pages2, pipe.annotate, out, n_buckets=8,
+                             batch_buckets=4, input_source=src)
+        # explicit override resumes and re-pins the new version
+        st = run_checkpointed(pages2, pipe.annotate, out, n_buckets=8,
+                              batch_buckets=4, input_source=src,
+                              allow_input_drift=True)
+        assert len(st.done) == 8
+
+    def test_iceberg_gracefully_absent(self, spark):
+        from validatelite_spark.sources import iceberg_support as ice
+        # this sandbox ships no Iceberg jars: the seam degrades, not breaks
+        assert ice.iceberg_available(spark) is False
+        assert ice.current_snapshot_id(spark, "cat.db.tbl") is None
+        pin = ice.input_fingerprint(spark, "cat.db.tbl")
+        assert pin["kind"] == "opaque"
+        ice.check_input_drift(spark, pin)  # opaque pins never raise
+
     def test_partial_run_resumes_exactly(self, spark, tmp_path):
         from validatelite_spark.pipeline.checkpoint import (
             read_state,

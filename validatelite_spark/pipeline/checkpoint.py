@@ -17,8 +17,11 @@ SURVEY.md §3.2):
 - resume = read the manifest, skip finished buckets.
 
 At cluster scale the manifest lives on the shared filesystem next to the
-output; with Iceberg in the classpath the same pattern pins a snapshot id
-per batch instead (stubbed — see sources/iceberg_support.py).
+output. Each manifest also pins the INPUT version via
+sources/iceberg_support.py — an Iceberg snapshot id when the runtime is
+in the classpath, a parquet file-set fingerprint otherwise — and resume
+refuses (InputDriftError) when the input changed under a half-finished
+run, so the output can never silently mix two input versions.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ class CheckpointState:
     out_dir: str
     n_buckets: int
     done: set[int]
+    input_pin: Optional[dict] = None  # fingerprint from the manifests
 
     @property
     def remaining(self) -> list[int]:
@@ -55,6 +59,7 @@ def _manifest_path(out_dir: str) -> Path:
 
 def read_state(out_dir: str, n_buckets: int) -> CheckpointState:
     done: set[int] = set()
+    input_pin: Optional[dict] = None
     mdir = _manifest_path(out_dir)
     if mdir.exists():
         for f in sorted(mdir.glob("batch-*.json")):
@@ -64,11 +69,13 @@ def read_state(out_dir: str, n_buckets: int) -> CheckpointState:
                     f"manifest bucket count {payload.get('n_buckets')} != "
                     f"requested {n_buckets}; use a fresh out_dir")
             done.update(payload["buckets"])
-    return CheckpointState(out_dir, n_buckets, done)
+            input_pin = payload.get("input") or input_pin
+    return CheckpointState(out_dir, n_buckets, done, input_pin)
 
 
 def _write_manifest(out_dir: str, n_buckets: int, buckets: list[int],
-                    rows: int, elapsed: float) -> None:
+                    rows: int, elapsed: float,
+                    input_pin: Optional[dict] = None) -> None:
     mdir = _manifest_path(out_dir)
     mdir.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -78,6 +85,8 @@ def _write_manifest(out_dir: str, n_buckets: int, buckets: list[int],
         "elapsed_sec": round(elapsed, 3),
         "completed_at": time.time(),
     }
+    if input_pin is not None:
+        payload["input"] = input_pin
     tmp = mdir / f".tmp-{uuid.uuid4().hex}"
     tmp.write_text(json.dumps(payload))
     os.replace(tmp, mdir / f"batch-{min(buckets):05d}.json")
@@ -91,15 +100,35 @@ def run_checkpointed(
     batch_buckets: int = 16,
     key_column: str = "url",
     progress: Optional[Callable[[str], None]] = None,
+    input_source: Optional[str] = None,
+    allow_input_drift: bool = False,
 ) -> CheckpointState:
     """Run ``transform`` over ``df`` in resumable bucket batches.
 
     ``transform`` must be deterministic per-row (the pipeline's annotate
     is). Output lands at ``out_dir`` partitioned by bucket; call again
     with the same arguments after a crash and only unfinished buckets run.
+
+    ``input_source``: the Iceberg table identifier / parquet path ``df``
+    was read from. When given, each manifest pins the input version
+    (snapshot id or file-set fingerprint) and a resume raises
+    InputDriftError if the input changed since the finished buckets were
+    written — unless ``allow_input_drift=True``.
     """
+    from validatelite_spark.sources.iceberg_support import (
+        check_input_drift,
+        input_fingerprint,
+    )
+
     spark = df.sparkSession
     state = read_state(out_dir, n_buckets)
+    input_pin: Optional[dict] = None
+    if input_source is not None:
+        if state.input_pin is not None:
+            check_input_drift(spark, state.input_pin, allow_input_drift)
+        # pin the CURRENT version (after an allowed drift the new batches
+        # record what they actually read)
+        input_pin = input_fingerprint(spark, input_source)
     bucket = F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_buckets)).cast("int")
     with_bucket = df.withColumn(BUCKET_COL, bucket)
 
@@ -121,7 +150,8 @@ def run_checkpointed(
          .partitionBy(BUCKET_COL)
          .parquet(out_dir))
         rows = int(obs.get["rows"])
-        _write_manifest(out_dir, n_buckets, batch, rows, time.time() - t0)
+        _write_manifest(out_dir, n_buckets, batch, rows, time.time() - t0,
+                        input_pin)
         state.done.update(batch)
         if progress:
             progress(f"buckets {batch[0]}..{batch[-1]} done "
