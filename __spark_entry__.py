@@ -493,6 +493,48 @@ def _q_pipeline_keep(spark, sf_dir):
         F.sum(F.col("fail_pii_text").cast("long")).alias("pii_hits"))
 
 
+def _q_pipeline_keep_sql(spark, sf_dir):
+    """The quality pipeline's native-rule keep logic + PII scrub with a
+    FULL DuckDB oracle (per-doc keep flag, pii hit, md5 of scrubbed
+    text) — the strongest end-to-end correctness gate on the pipeline.
+    Runs on the driver's documents view (perplexity omitted: it is the
+    one genuinely non-SQL rule; its parity lives in tests/test_pipeline
+    against the pandas reference impl)."""
+    from validatelite_spark.core.rules import Rule, RuleType, SeverityLevel
+    from validatelite_spark.pipeline import PipelineConfig, QualityPipeline
+    df = _read(spark, sf_dir, "documents")
+    cfg = PipelineConfig(allowed_langs=("en",))
+    rules = [
+        Rule(RuleType.NOT_NULL, "text", name="not_null_text",
+             severity=SeverityLevel.CRITICAL),
+        Rule(RuleType.GOPHER, "text", name="gopher_text",
+             severity=SeverityLevel.HIGH),
+        Rule(RuleType.LANG_ID, "text", {"allowed_langs": ["en"]},
+             name="lang_id_text", severity=SeverityLevel.HIGH),
+        Rule(RuleType.PII_SCRUB, "text", name="pii_text",
+             severity=SeverityLevel.LOW),
+    ]
+    ann = QualityPipeline(spark, cfg, rules).annotate(df)
+    return ann.select(
+        "doc_id", "keep",
+        F.coalesce(F.col("fail_pii_text"), F.lit(False)).alias("pii_hit"),
+        F.md5(F.col("text_scrubbed")).alias("scrub_fp"))
+
+
+def _pipeline_keep_sql_oracle() -> str:
+    from validatelite_spark.functions.pii import _ANY_PATTERN, duckdb_scrub_sql
+    t = "text"
+    keep = (f"({t} IS NOT NULL AND NOT {_d_gopher_fail(t)} "
+            f"AND {_d_lang_id(t)} = 'en')")
+    hit = _ANY_PATTERN.pattern.replace("'", "''")
+    return f"""
+        SELECT doc_id, {keep} AS keep,
+               coalesce(regexp_matches({t}, '{hit}'), FALSE) AS pii_hit,
+               CASE WHEN {keep} THEN md5({duckdb_scrub_sql(t)}) END
+               AS scrub_fp
+        FROM documents"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     from validatelite_spark.operators.multimodal import decode_media
     from validatelite_spark.pipeline import synthesize_pages
@@ -540,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "top_customers": _q_top_customers,
         "pipeline_keep": _q_pipeline_keep,
+        "pipeline_keep_sql": _q_pipeline_keep_sql,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -718,4 +761,5 @@ def oracle_sql() -> dict[str, str]:
     }
     # IVF with n_probe == n_centroids is exhaustive → same oracle
     out["ann_ivf"] = out["ann_bruteforce"]
+    out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out
