@@ -1,0 +1,73 @@
+"""Quality-filter rule types registered through the runtime registry.
+
+Mirrors the reference's builtin registration module
+(reference: core/registry/builtin_rule_types.py:23-120): the engine's
+own LANG_ID / GOPHER / PERPLEXITY / PII_SCRUB rule types go through
+``register_rule_type`` exactly like a user extension would, proving the
+registry is the real dispatch path. ``plans/compiler.py`` imports this
+module for its side effect and carries NO per-type branch for these.
+
+Imported lazily by the compiler (not by core/rules.py) so the core rule
+model stays free of pyspark imports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from validatelite_spark.core.registry import register_rule_type
+from validatelite_spark.functions.perplexity import perplexity_fail
+from validatelite_spark.functions.pii import pii_fail
+from validatelite_spark.functions.textquality import gopher_fail, lang_id
+
+
+def _compile_lang_id(rule):
+    # ENUM-over-detected-language; lang_id never yields NULL ('und'
+    # fallback), so plain NOT IN is total. A bare string means one
+    # language, not its characters.
+    allowed = rule.parameters["allowed_langs"]
+    allowed = [allowed] if isinstance(allowed, str) else list(allowed)
+    return ~lang_id(F.col(rule.column)).isin(allowed)
+
+
+def _compile_gopher(rule):
+    return gopher_fail(F.col(rule.column), rule.parameters)
+
+
+def _compile_perplexity(rule):
+    p = rule.parameters
+    return perplexity_fail(F.col(rule.column), p.get("min_ppl"),
+                           p.get("max_ppl"))
+
+
+def _compile_pii_scrub(rule):
+    return pii_fail(F.col(rule.column))
+
+
+def _ppl_params(params: dict) -> None:
+    if params.get("max_ppl") is None and params.get("min_ppl") is None:
+        raise ValueError("PERPLEXITY needs min_ppl and/or max_ppl")
+
+
+def register_builtins(replace: bool = True) -> None:
+    register_rule_type(
+        "LANG_ID", _compile_lang_id, tier="NATIVE",
+        param_schema={"required": ["allowed_langs"]},
+        description="detected language must be in allowed_langs",
+        replace=replace)
+    register_rule_type(
+        "GOPHER", _compile_gopher, tier="NATIVE",
+        description="Gopher/C4-style heuristic quality gates",
+        replace=replace)
+    register_rule_type(
+        "PERPLEXITY", _compile_perplexity, tier="UDF",
+        param_schema={"validator": _ppl_params},
+        description="char-bigram LM perplexity within [min_ppl, max_ppl]",
+        replace=replace)
+    register_rule_type(
+        "PII_SCRUB", _compile_pii_scrub, tier="UDF",
+        description="document contains a PII/toxicity pattern",
+        replace=replace)
+
+
+register_builtins()

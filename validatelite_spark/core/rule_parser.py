@@ -113,6 +113,26 @@ def parse_rule(expr: str) -> Rule:
             raise RuleParseError(f"date_format(col,format) expected: {expr!r}")
         col, fmt = body[:idx].strip(), body[idx + 1:].strip().strip("'\"")
         return Rule(RuleType.DATE_FORMAT, col, {"format": fmt})
+
+    # runtime-REGISTERED rule types (core/registry.py) parse generically:
+    # TYPE(col[, key=value ...]); '|'-separated values become lists
+    from validatelite_spark.core.registry import get_rule_type
+    if get_rule_type(head) is not None:
+        parts = [p.strip() for p in body.split(",")] if body.strip() else []
+        col = parts[0] if parts else None
+        params: dict[str, Any] = {}
+        for kv in parts[1:]:
+            if "=" not in kv:
+                raise RuleParseError(
+                    f"registered-type params must be key=value: {kv!r}")
+            k, v = kv.split("=", 1)
+            v = v.strip()
+            params[k.strip()] = ([_coerce_number(x) for x in v.split("|")]
+                                 if "|" in v else _coerce_number(v))
+        try:
+            return Rule(head.upper(), col, params)
+        except RuleValidationError as e:
+            raise RuleParseError(f"bad {head} rule {expr!r}: {e}") from e
     raise RuleParseError(f"unknown rule type {head!r} in {expr!r}")
 
 

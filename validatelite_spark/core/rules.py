@@ -53,6 +53,17 @@ class RuleType(str, Enum):
     CUSTOM = "CUSTOM"
 
 
+class DynamicRuleType(str):
+    """Type tag for a runtime-REGISTERED rule type (core/registry.py).
+    A plain str plus the ``.value`` property every ``rule.type.value``
+    call site expects — so registered types flow through the engine,
+    results, and serialization exactly like RuleType members."""
+
+    @property
+    def value(self) -> str:
+        return str(self)
+
+
 class SeverityLevel(str, Enum):
     LOW = "LOW"
     MEDIUM = "MEDIUM"
@@ -81,8 +92,18 @@ class Rule:
     description: Optional[str] = None
 
     def __post_init__(self) -> None:
-        if isinstance(self.type, str):
-            self.type = RuleType(self.type)
+        if isinstance(self.type, str) and not isinstance(self.type, RuleType):
+            try:
+                self.type = RuleType(str(self.type).upper())
+            except ValueError:
+                # not a builtin enum member: must be runtime-registered
+                from validatelite_spark.core.registry import get_rule_type
+                spec = get_rule_type(self.type)
+                if spec is None:
+                    raise RuleValidationError(
+                        f"unknown rule type: {self.type!r} (register it "
+                        f"via core.registry.register_rule_type)") from None
+                self.type = DynamicRuleType(spec.name)
         if not self.name:
             self.name = f"{self.type.value.lower()}_{self.column or 'table'}"
         self._validate_parameters()
@@ -90,6 +111,24 @@ class Rule:
     # -- parameter validation (reference: shared/schema/rule_schema.py:255-343)
     def _validate_parameters(self) -> None:
         t, p = self.type, self.parameters
+        if isinstance(t, DynamicRuleType):
+            # registered type: the registry's param schema is the contract
+            from validatelite_spark.core.registry import (
+                get_rule_type,
+                validate_params,
+            )
+            spec = get_rule_type(t)
+            if spec is not None:
+                if spec.needs_column and not self.column:
+                    raise RuleValidationError(
+                        f"{t.value} rule requires a column")
+                try:
+                    validate_params(spec, p)
+                except ValueError as e:
+                    raise RuleValidationError(str(e)) from e
+            if self.threshold < 0.0 or self.threshold > 1.0:
+                raise RuleValidationError("threshold must be a rate in [0, 1]")
+            return
         needs_column = t not in (RuleType.SCHEMA, RuleType.CUSTOM)
         if needs_column and not self.column:
             raise RuleValidationError(f"{t.value} rule requires a column")
@@ -155,7 +194,7 @@ class Rule:
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "Rule":
         return cls(
-            type=RuleType(d["type"]),
+            type=d["type"],  # __post_init__ resolves enum vs registered
             column=d.get("column"),
             parameters=dict(d.get("parameters") or {}),
             name=d.get("name") or "",

@@ -26,12 +26,11 @@ from typing import Optional
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from validatelite_spark.core import builtin_rule_types  # noqa: F401 (registers)
+from validatelite_spark.core.registry import get_rule_type
 from validatelite_spark.core.results import RuleExecutionError
 from validatelite_spark.core.rules import Rule, RuleType
 from validatelite_spark.functions import udf_tier
-from validatelite_spark.functions.perplexity import perplexity_fail
-from validatelite_spark.functions.pii import pii_fail
-from validatelite_spark.functions.textquality import gopher_fail, lang_id
 
 
 class Tier(str, Enum):
@@ -57,9 +56,27 @@ class CompiledRule:
 
 def compile_rule(rule: Rule, use_native_regex: bool = False) -> CompiledRule:
     """Compile one rule. Raises RuleExecutionError for unsupported shapes
-    (per-rule isolation: the engine turns it into an ERROR result)."""
+    (per-rule isolation: the engine turns it into an ERROR result).
+
+    Runtime-registered rule types (core/registry.py) dispatch FIRST —
+    the quality-filter builtins (LANG_ID/GOPHER/PERPLEXITY/PII_SCRUB)
+    live there (core/builtin_rule_types.py), and a user registration
+    with replace=True can override any type's compilation without
+    touching this file."""
     t, p = rule.type, rule.parameters
     col = F.col(rule.column) if rule.column else None
+
+    spec = get_rule_type(t)
+    if spec is not None:
+        try:
+            pred = spec.compile_fn(rule) if spec.compile_fn else None
+        except RuleExecutionError:
+            raise
+        except Exception as e:
+            raise RuleExecutionError(
+                f"registered rule type {spec.name} failed to compile "
+                f"{rule.name}: {e}") from e
+        return CompiledRule(rule, Tier(spec.tier), pred)
 
     if t == RuleType.NOT_NULL:
         return CompiledRule(rule, Tier.NATIVE, col.isNull())
@@ -108,23 +125,8 @@ def compile_rule(rule: Rule, use_native_regex: bool = False) -> CompiledRule:
         return CompiledRule(
             rule, Tier.UDF, udf_tier.date_format_fail(col, p["format"]))
 
-    if t == RuleType.LANG_ID:
-        allowed = list(p["allowed_langs"])
-        # ENUM-over-detected-language; lang_id never yields NULL ('und'
-        # fallback), so plain NOT IN is total.
-        pred = ~lang_id(col).isin(allowed)
-        return CompiledRule(rule, Tier.NATIVE, pred)
-
-    if t == RuleType.GOPHER:
-        return CompiledRule(rule, Tier.NATIVE, gopher_fail(col, p))
-
-    if t == RuleType.PERPLEXITY:
-        return CompiledRule(
-            rule, Tier.UDF,
-            perplexity_fail(col, p.get("min_ppl"), p.get("max_ppl")))
-
-    if t == RuleType.PII_SCRUB:
-        return CompiledRule(rule, Tier.UDF, pii_fail(col))
+    # LANG_ID / GOPHER / PERPLEXITY / PII_SCRUB compile via the registry
+    # dispatch above (core/builtin_rule_types.py) — no branches here.
 
     if t == RuleType.UNIQUE:
         return CompiledRule(rule, Tier.GROUPBY)
