@@ -103,3 +103,63 @@ class TestTwoPhase:
             {"field": "age", "type": "float", "desired_type": "date"}]}}
         with pytest.raises(SchemaPayloadError):
             run_two_phase(spark, {"users": users}, bad)
+
+    def test_json_payload_matches_reference_contract(self, spark, users):
+        """The aggregated schema JSON validates against the reference's
+        published contract (docs/schemas/schema_results.schema.json) on
+        a multi-table fixture with a missing table, a missing field,
+        skipped rules, and strict-mode extras."""
+        import json
+        from pathlib import Path
+
+        import jsonschema
+
+        from validatelite_spark.plans.schema_payload import (
+            build_json_payload,
+            run_two_phase_with_plans,
+        )
+        payload_decl = {
+            # 'status' deliberately undeclared → strict-mode extra
+            "users": {"strict_mode": True, "rules": [
+                {"field": "id", "type": "integer", "required": True},
+                {"field": "age", "type": "integer", "min": 0, "max": 120},
+                {"field": "birthday", "type": "string",
+                 "desired_type": "date('yyyymmdd')"},
+                {"field": "ghost", "type": "string", "required": True},
+            ]},
+            "orders": {"rules": [
+                {"field": "order_id", "type": "integer", "required": True},
+            ]},
+        }
+        out, plans = run_two_phase_with_plans(
+            spark, {"users": users, "orders": None}, payload_decl)
+        payload = build_json_payload(
+            "testsrc", "rules.json", out, plans, 1.23)
+
+        contract = json.loads(Path(
+            "/root/reference/docs/schemas/schema_results.schema.json"
+        ).read_text())
+        jsonschema.validate(payload, contract)  # raises on any drift
+
+        # matrix semantics: qualified columns (multi-table), existence/
+        # type split, skip reasons, strict extras
+        fields = {f["column"]: f["checks"] for f in payload["fields"]}
+        ghost = fields["users.ghost"]
+        assert ghost["existence"] == {"status": "FAILED",
+                                      "failure_code": "FIELD_MISSING"}
+        assert ghost["type"] == {"status": "SKIPPED",
+                                 "skip_reason": "FIELD_MISSING"}
+        assert ghost["not_null"]["status"] == "SKIPPED"
+        assert fields["users.age"]["existence"]["status"] == "PASSED"
+        assert fields["users.age"]["range"] == {"status": "FAILED",
+                                                "failed_records": 2}
+        assert fields["users.birthday"]["desired_type"]["status"] == "FAILED"
+        # missing table: declared columns UNKNOWN, its rules SKIPPED
+        assert fields["orders.order_id"]["existence"] == {"status": "UNKNOWN"}
+        assert fields["orders.order_id"]["not_null"]["status"] == "SKIPPED"
+        # strict mode: the undeclared 'status' column surfaces as an extra
+        assert payload["schema_extras"] == ["users.status"]
+        # summary math
+        s = payload["summary"]
+        assert s["total_rules"] == len(payload["results"])
+        assert s["skipped_rules"] >= 2

@@ -156,27 +156,19 @@ def main(argv: Optional[list[str]] = None) -> int:
             return _emit(results, args.json)
 
         if args.command == "schema":
+            import time as _time
+
+            from validatelite_spark.plans.schema_payload import (
+                build_json_payload,
+                run_two_phase_with_plans,
+            )
             decl = json.loads(open(args.schema).read())
-            if isinstance(decl, dict) and "rules" in decl:
-                # single-table payload {rules: [...]} — two-phase
-                from validatelite_spark.plans.schema_payload import (
-                    run_two_phase,
-                )
-                table = args.source.rsplit("/", 1)[-1].split(".")[0]
-                if args.strict:
-                    decl["strict_mode"] = True
-                if args.case_insensitive:
-                    decl["case_insensitive"] = True
-                out = run_two_phase(spark, {table: df}, {table: decl})
-                return _emit(out[table], args.json)
-            if isinstance(decl, dict) and decl and all(
-                    isinstance(v, dict) and "rules" in v
-                    for v in decl.values()):
+            t0 = _time.time()
+            if isinstance(decl, dict) and decl and "rules" not in decl \
+                    and all(isinstance(v, dict) and "rules" in v
+                            for v in decl.values()):
                 # multi-table payload {table: {rules: [...]}} — the
                 # source is a directory of <table>.parquet files
-                from validatelite_spark.plans.schema_payload import (
-                    run_two_phase,
-                )
                 dfs = {}
                 for table in decl:
                     try:
@@ -184,16 +176,31 @@ def main(argv: Optional[list[str]] = None) -> int:
                             spark, f"{args.source.rstrip('/')}/{table}.parquet")
                     except Exception:
                         dfs[table] = None  # missing table → SKIPPED rules
-                out = run_two_phase(spark, dfs, decl)
-                results = [r for rs in out.values() for r in rs]
-                return _emit(results, args.json)
-            # bare {column: type} map → plain metadata SCHEMA rule
-            from validatelite_spark.core.rules import schema_rule
-            from validatelite_spark.operators.engine import RuleEngine
-            rule = schema_rule(decl, strict_mode=args.strict,
-                               case_insensitive=args.case_insensitive)
-            results = RuleEngine(spark).execute(df, [rule])
-            return _emit(results, args.json)
+                out, plans = run_two_phase_with_plans(spark, dfs, decl)
+            else:
+                # single-table: {rules: [...]} payload, or a bare
+                # {column: type} map (normalized to payload form)
+                if not (isinstance(decl, dict) and "rules" in decl):
+                    decl = {"rules": [{"field": c, "type": t}
+                                      for c, t in decl.items()]}
+                table = args.source.rsplit("/", 1)[-1].split(".")[0]
+                if args.strict:
+                    decl["strict_mode"] = True
+                if args.case_insensitive:
+                    decl["case_insensitive"] = True
+                out, plans = run_two_phase_with_plans(
+                    spark, {table: df}, {table: decl})
+            results = [r for rs in out.values() for r in rs]
+            if args.json:
+                # full reference-contract payload (per-field check matrix
+                # + schema_extras), docs/schemas/schema_results.schema.json
+                payload = build_json_payload(
+                    args.source, args.schema, out, plans,
+                    _time.time() - t0)
+                print(json.dumps(payload, default=str))
+                return 1 if any(r.status == ExecutionStatus.FAILED
+                                for r in results) else 0
+            return _emit(results, False)
 
         if args.command == "filter":
             from validatelite_spark.pipeline.quality import (

@@ -109,12 +109,25 @@ def run_two_phase(
 ) -> dict[str, list[RuleResult]]:
     """Phase 1 (metadata) → skip map → phase 2 (fused data scan) for a
     multi-table payload. ``dfs[table] = None`` marks a missing table."""
+    out, _plans = run_two_phase_with_plans(spark, dfs, payload)
+    return out
+
+
+def run_two_phase_with_plans(
+    spark: SparkSession,
+    dfs: dict[str, Optional[DataFrame]],
+    payload: dict[str, dict[str, Any]],
+) -> tuple[dict[str, list[RuleResult]], dict[str, TablePlan]]:
+    """run_two_phase plus the decomposed plans (rule → column mapping),
+    which the JSON payload builder needs for the per-field check matrix."""
     from validatelite_spark.operators.engine import RuleEngine
 
     engine = RuleEngine(spark)
     out: dict[str, list[RuleResult]] = {}
+    plans: dict[str, TablePlan] = {}
     for table, tbl_payload in payload.items():
         plan = decompose_table(table, tbl_payload)
+        plans[table] = plan
         if plan.conflicts:
             raise SchemaPayloadError("; ".join(plan.conflicts))
         results: list[RuleResult] = []
@@ -147,7 +160,7 @@ def run_two_phase(
             results.extend(engine.execute(df, runnable, table_name=table))
         results.extend(_skipped(r, table, "field missing") for r in skipped)
         out[table] = results
-    return out
+    return out, plans
 
 
 def _skipped(rule: Rule, table: str, why: str) -> RuleResult:
@@ -156,3 +169,145 @@ def _skipped(rule: Rule, table: str, why: str) -> RuleResult:
         status=ExecutionStatus.SKIPPED,
         dataset_metrics=[DatasetMetrics(table, 0, 0)],
         execution_message=f"skipped: {why}")
+
+
+# ---------------------------------------------------- JSON payload parity
+#: rule type → per-field check key (reference: schema.py:1614-1645)
+_CHECK_KEY = {
+    "NOT_NULL": "not_null", "RANGE": "range", "ENUM": "enum",
+    "REGEX": "regex", "DATE_FORMAT": "date_format", "LENGTH": "length",
+}
+
+
+def build_json_payload(
+    source: str,
+    rules_file: str,
+    out: dict[str, list[RuleResult]],
+    plans: dict[str, TablePlan],
+    exec_seconds: float,
+) -> dict[str, Any]:
+    """Aggregated ``vlite schema`` JSON output matching the reference
+    contract (reference: docs/schemas/schema_results.schema.json,
+    cli/commands/schema.py:1485-1696): top-level status/source/rules_file/
+    rules_count/summary/results/fields (+ schema_extras when strict mode
+    found extra columns). ``fields`` is the per-column check matrix —
+    existence/type from the metadata phase, one entry per data rule keyed
+    by check name, SKIPPED checks carrying their skip_reason. Columns are
+    '<table>.<column>'-qualified when the payload spans multiple tables
+    (the contract allows only column+checks per item)."""
+    multi = len(out) > 1
+
+    def qual(table: str, column: str) -> str:
+        return f"{table}.{column}" if multi else column
+
+    fields: list[dict[str, Any]] = []
+    index: dict[str, dict[str, Any]] = {}
+
+    def entry_for(table: str, column: str) -> dict[str, Any]:
+        key = f"{table}.{column}"
+        if key not in index:
+            e = {"column": qual(table, column), "checks": {}}
+            fields.append(e)
+            index[key] = e
+        return index[key]
+
+    results_json: list[dict[str, Any]] = []
+    extras: set[str] = set()
+    rules_count = 0
+
+    for table, results in out.items():
+        plan = plans.get(table)
+        desired_ids = ({r.id for r in plan.desired_rules} if plan else set())
+        rules_count += 1 + (len(plan.field_rules) + len(plan.desired_rules)
+                            if plan else 0)
+        for r in results:
+            rd = r.to_dict()
+            rd["message"] = r.execution_message
+            if r.status == ExecutionStatus.SKIPPED:
+                rd["skip_reason"] = "FIELD_MISSING"
+            results_json.append(rd)
+
+            if r.rule_type == "SCHEMA":
+                schema_ran = (r.execution_plan or {}).get(
+                    "execution_type") == "metadata"
+                # declared columns absent from sample_data passed both
+                # checks (the engine samples only non-PASSED); for a
+                # missing table nothing ran → UNKNOWN (reference
+                # schema.py:1563-1576)
+                declared = (plan.schema_rule.parameters.get("columns") or {}
+                            if plan else {})
+                flagged = {str(i.get("column")) for i in r.sample_data or []}
+                for col in declared:
+                    if col in flagged:
+                        continue
+                    e = entry_for(table, col)
+                    if schema_ran:
+                        e["checks"]["existence"] = {
+                            "status": "PASSED", "failure_code": "NONE"}
+                        e["checks"]["type"] = {
+                            "status": "PASSED", "failure_code": "NONE"}
+                    else:
+                        e["checks"]["existence"] = {"status": "UNKNOWN"}
+                        e["checks"]["type"] = {"status": "UNKNOWN"}
+                for item in r.sample_data or []:
+                    col, st = str(item.get("column")), item.get("status")
+                    if st == "EXTRA_FIELD":
+                        extras.add(qual(table, col))
+                        continue
+                    e = entry_for(table, col)
+                    if st == "FIELD_MISSING":
+                        e["checks"]["existence"] = {
+                            "status": "FAILED",
+                            "failure_code": "FIELD_MISSING"}
+                        e["checks"]["type"] = {
+                            "status": "SKIPPED",
+                            "skip_reason": "FIELD_MISSING"}
+                    elif st == "TYPE_MISMATCH":
+                        e["checks"]["existence"] = {
+                            "status": "PASSED", "failure_code": "NONE"}
+                        e["checks"]["type"] = {
+                            "status": "FAILED",
+                            "failure_code": "TYPE_MISMATCH"}
+                    else:
+                        e["checks"]["existence"] = {
+                            "status": "PASSED", "failure_code": "NONE"}
+                        e["checks"]["type"] = {
+                            "status": "PASSED", "failure_code": "NONE"}
+                continue
+
+            column = plan.rule_columns.get(r.rule_id, "") if plan else ""
+            if not column:
+                continue
+            key = ("desired_type" if r.rule_id in desired_ids
+                   else _CHECK_KEY.get(r.rule_type, r.rule_type.lower()))
+            check: dict[str, Any] = {"status": r.status.value}
+            if r.status == ExecutionStatus.SKIPPED:
+                check["skip_reason"] = "FIELD_MISSING"
+            if r.failed_records:
+                check["failed_records"] = r.failed_records
+            entry_for(table, column)["checks"][key] = check
+
+    all_results = [r for rs in out.values() for r in rs]
+    payload: dict[str, Any] = {
+        "status": "ok",
+        "source": source,
+        "rules_file": rules_file,
+        "rules_count": rules_count,
+        "summary": {
+            "total_rules": len(all_results),
+            "passed_rules": sum(r.status == ExecutionStatus.PASSED
+                                for r in all_results),
+            "failed_rules": sum(r.status == ExecutionStatus.FAILED
+                                for r in all_results),
+            "skipped_rules": sum(r.status == ExecutionStatus.SKIPPED
+                                 for r in all_results),
+            "total_failed_records": sum(r.failed_records
+                                        for r in all_results),
+            "execution_time_s": round(exec_seconds, 3),
+        },
+        "results": results_json,
+        "fields": fields,
+    }
+    if extras:
+        payload["schema_extras"] = sorted(extras)
+    return payload
