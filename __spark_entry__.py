@@ -545,6 +545,27 @@ def _q_multimodal_features(spark, sf_dir):
                  F.sum("n_bytes").alias("total_bytes")))
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    # REAL image decode (pure-numpy BMP + PPM codecs) over a synthetic
+    # deterministic image corpus; rows-only oracle (binary codec is
+    # non-SQL). Parity is pinned in tests/test_multimodal_*.py against
+    # an independent numpy recompute.
+    from validatelite_spark.operators.multimodal import (
+        decode_media, synthesize_images)
+    imgs = synthesize_images(spark, 2000, height=16, width=12)
+    feats = decode_media(imgs, "html", "url", decoder="image")
+    return (feats
+            .select("format",
+                    F.element_at("features", 1).alias("w"),
+                    F.element_at("features", 2).alias("h"),
+                    F.element_at("features", 3).alias("mean_r"))
+            .groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("w") + 1e-9, 6).alias("avg_w"),
+                 F.round(F.avg("h") + 1e-9, 6).alias("avg_h"),
+                 F.round(F.avg("mean_r") + 1e-9, 6).alias("avg_mean_r")))
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -584,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_keep": _q_pipeline_keep,
         "pipeline_keep_sql": _q_pipeline_keep_sql,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 

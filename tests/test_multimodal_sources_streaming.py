@@ -33,10 +33,56 @@ class TestMultimodal:
         assert (sorted(map(tuple, rows)) ==
                 sorted(map(tuple, again.collect())))
 
-    def test_real_decoder_is_stubbed(self, spark):
-        pages = synthesize_pages(spark, 5)
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_media(pages, decoder="image")
+    def test_real_image_decode(self, spark):
+        """decoder='image' really decodes BMP + PPM (pure numpy)."""
+        imgs = multimodal.synthesize_images(spark, 64, height=8, width=8)
+        feats = multimodal.decode_media(imgs, "html", "url",
+                                        decoder="image").cache()
+        rows = {r["url"]: r for r in feats.collect()}
+        assert len(rows) == 64
+        fmts = {r["format"] for r in rows.values()}
+        assert fmts == {"bmp", "ppm"}
+        for r in rows.values():
+            f = r["features"]
+            assert len(f) == 21
+            assert f[0] == 8.0 and f[1] == 8.0          # w, h
+            assert all(0.0 <= x <= 1.0 for x in f[2:])  # means + thumb
+        # pin id=0 (ppm) exactly against an independent numpy recompute
+        import numpy as np
+        yy, xx = np.mgrid[0:8, 0:8]
+        px = (yy * 13 + xx * 7) % 256
+        img = np.stack([px, (px * 3 + 17) % 256, (px * 5 + 101) % 256],
+                       axis=2).astype(np.uint8)
+        got = rows["img://corpus/00000000"]["features"]
+        exp_means = (img.astype(np.float64) / 255.0).mean(axis=(0, 1))
+        for g, e in zip(got[2:5], exp_means):
+            assert abs(g - e) < 1e-6
+        # determinism across partitionings (rule 6: pure function of id)
+        again = multimodal.decode_media(
+            multimodal.synthesize_images(spark, 64).repartition(7),
+            "html", "url", decoder="image")
+        assert (sorted(map(tuple, rows.values())) ==
+                sorted(map(tuple, again.collect())))
+
+    def test_codec_roundtrip_and_junk_safety(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+        assert np.array_equal(
+            multimodal.decode_bmp(multimodal.encode_bmp(img)), img)
+        assert np.array_equal(
+            multimodal.decode_pnm(multimodal.encode_ppm(img)), img)
+        # undecodable payloads yield NULL features, never an exception
+        junk = spark.createDataFrame(
+            [("u1", bytearray(b"\x89PNG not really")),
+             ("u2", bytearray(b"BM truncated")),
+             ("u3", None)],
+            "url string, html binary")
+        got = {r["url"]: r for r in multimodal.decode_media(
+            junk, "html", "url", decoder="image").collect()}
+        assert got["u1"]["format"] == "png" and got["u1"]["features"] is None
+        assert got["u2"]["features"] is None
+        assert got["u3"]["format"] == "missing"
 
     def test_frame_sample(self, spark):
         pages = synthesize_pages(spark, 40)

@@ -3,16 +3,21 @@
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side machinery here is REAL and tested: schemas, Arrow
 batch iteration via ``mapInPandas``, partition-preserving feature
-extraction, deterministic batching. The actual media *decode* is STUBBED
-(this container ships no image/audio libraries): ``decode_media`` raises
-``NotImplementedError`` unless the deterministic fake decoder is
-requested, which computes a byte-histogram "feature vector" + magic-byte
-format sniffing — deterministic, so tests pin exact values.
+extraction, deterministic batching.
 
-Swap ``_fake_decode_batch`` for a Pillow/torchaudio-backed batch decoder
-in production; the UDF signature, output schema, and batching are already
-the production shape (Arrow batches in, Arrow batches out, no per-row
-Python beyond the media library call itself).
+``decoder='fake'`` computes a byte-histogram "feature vector" +
+magic-byte format sniffing — deterministic, so tests pin exact values.
+
+``decoder='image'`` is a REAL decoder for the two formats decodable with
+pure numpy (no image library ships in this container): uncompressed
+24/32-bit BMP and binary PNM (P6 ppm / P5 pgm). It emits geometry +
+per-channel means + a 4x4 nearest-neighbor grayscale thumbnail as the
+feature vector; other formats pass through with ``features = NULL`` so a
+mixed corpus never kills the job. Extend ``_decode_image`` with a
+Pillow/torchaudio call for jpeg/png in production; the UDF signature,
+output schema, and batching are already the production shape (Arrow
+batches in, Arrow batches out, no per-row Python beyond the decode
+itself).
 """
 
 from __future__ import annotations
@@ -33,6 +38,9 @@ _MAGIC = [
     (b"\x89PNG", "png"),
     (b"GIF8", "gif"),
     (b"RIFF", "riff"),
+    (b"BM", "bmp"),
+    (b"P6", "ppm"),
+    (b"P5", "pgm"),
     (b"<html", "html"),
     (b"<!doc", "html"),
 ]
@@ -71,6 +79,166 @@ def _fake_decode_batch(payloads: pd.Series) -> tuple[list[int], list[str],
     return n_bytes, formats, feats
 
 
+# --------------------------------------------------------------- real
+# pure-numpy image codecs: uncompressed BMP (24/32-bit BI_RGB) + binary
+# PNM (P6 ppm / P5 pgm). Enough to make decoder='image' real without an
+# image library; jpeg/png would plug into _decode_image the same way.
+
+def decode_bmp(b: bytes) -> np.ndarray | None:
+    """Decode an uncompressed 24- or 32-bit BI_RGB BMP to an (H, W, 3)
+    uint8 RGB array. Bottom-up and top-down row orders both handled.
+    Returns None on anything it can't parse (truncated / compressed /
+    palette formats)."""
+    try:
+        if len(b) < 54 or b[:2] != b"BM":
+            return None
+        off = int.from_bytes(b[10:14], "little")
+        hdr = int.from_bytes(b[14:18], "little")
+        if hdr < 40:  # BITMAPCOREHEADER etc. — not supported
+            return None
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if comp != 0 or bpp not in (24, 32) or w <= 0 or w > 1 << 20:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if h == 0 or h > 1 << 20:
+            return None
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
+        if off + stride * h > len(b):
+            return None
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        if not top_down:
+            rows = rows[::-1]
+        # BMP stores BGR(A) → RGB
+        return np.ascontiguousarray(rows[:, :, 2::-1])
+    except Exception:
+        return None
+
+
+def decode_pnm(b: bytes) -> np.ndarray | None:
+    """Decode binary PNM (P6 ppm → RGB, P5 pgm → gray replicated to
+    RGB) with maxval <= 255 to an (H, W, 3) uint8 array. Returns None
+    on parse failure."""
+    try:
+        magic = b[:2]
+        if magic not in (b"P6", b"P5"):
+            return None
+        # header: magic, width, height, maxval — whitespace separated,
+        # '#' comments allowed; one whitespace byte then raster.
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(b) and b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                return None
+            fields.append(int(b[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and
+                0 < maxval <= 255):
+            return None
+        nch = 3 if magic == b"P6" else 1
+        need = w * h * nch
+        if pos + need > len(b):
+            return None
+        arr = np.frombuffer(b, dtype=np.uint8, count=need,
+                            offset=pos).reshape(h, w, nch)
+        if nch == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        return np.ascontiguousarray(arr)
+    except Exception:
+        return None
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a bottom-up 24-bit BMP.
+    Data-gen / test helper (and round-trip check for decode_bmp)."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # BGR bottom-up
+    raw = body.tobytes()
+    header = (
+        b"BM" + (54 + len(raw)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raw).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + b"\0" * 8
+    )
+    return header + raw
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary P6 ppm."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (H, W, C) array — the resize
+    primitive for thumbnailing; vectorized numpy (index gather, no
+    Python loop over pixels)."""
+    h, w = arr.shape[:2]
+    ys = ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64)
+    xs = ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64)
+    return arr[ys.clip(0, h - 1)][:, xs.clip(0, w - 1)]
+
+
+def _decode_image(b: bytes) -> np.ndarray | None:
+    """Dispatch on magic bytes to a pure-numpy decoder. Extension point
+    for jpeg/png (Pillow/opencv) in production."""
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:2] in (b"P6", b"P5"):
+        return decode_pnm(b)
+    return None
+
+
+def _real_decode_batch(payloads: pd.Series) -> tuple[list[int], list[str],
+                                                     list]:
+    """Real decode per Arrow batch: geometry + channel means + a 4x4
+    grayscale nearest-neighbor thumbnail (21 floats). Undecodable
+    payloads keep their sniffed format with features=None."""
+    n_bytes: list[int] = []
+    formats: list[str] = []
+    feats: list = []
+    for raw in payloads:
+        if raw is None:
+            n_bytes.append(0)
+            formats.append("missing")
+            feats.append(None)
+            continue
+        b = bytes(raw)
+        n_bytes.append(len(b))
+        formats.append(_sniff_format(b))
+        img = _decode_image(b)
+        if img is None:
+            feats.append(None)
+            continue
+        h, w = img.shape[:2]
+        px = img.astype(np.float64) / 255.0
+        means = px.mean(axis=(0, 1))  # R, G, B in [0, 1]
+        gray = px @ np.array([0.299, 0.587, 0.114])
+        thumb = resize_nearest(gray, 4, 4).ravel()
+        feats.append([float(w), float(h), *map(float, means),
+                      *map(float, thumb)])
+    return n_bytes, formats, feats
+
+
 def decode_media(
     df: DataFrame,
     binary_col: str = "html",
@@ -79,21 +247,19 @@ def decode_media(
 ) -> DataFrame:
     """Feature-extract a binary media column via ``mapInPandas``.
 
-    decoder='fake'  → deterministic byte-histogram features (testable now)
-    decoder='image' → real image decode — STUB: raises NotImplementedError
-                      (no Pillow/opencv in this environment; plug the
-                      batch decoder in here)
+    decoder='fake'  → deterministic byte-histogram features
+    decoder='image' → REAL decode for numpy-decodable formats (BMP,
+                      binary PNM); features = [w, h, mean_r, mean_g,
+                      mean_b, 16x thumbnail] or NULL if undecodable
     """
     if decoder not in ("fake", "image"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    if decoder == "image":
-        raise NotImplementedError(
-            "real image decode requires an image library not present in "
-            "this environment; use decoder='fake' for the plumbing path")
+    batch_fn = (_real_decode_batch if decoder == "image"
+                else _fake_decode_batch)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes, formats, feats = _fake_decode_batch(pdf[binary_col])
+            n_bytes, formats, feats = batch_fn(pdf[binary_col])
             yield pd.DataFrame({
                 "url": pdf[key_col],
                 "n_bytes": n_bytes,
@@ -105,6 +271,33 @@ def decode_media(
         df.select(key_col, binary_col)
         .mapInPandas(extract, schema=FEATURES_SCHEMA)
     )
+
+
+def synthesize_images(spark, n: int, height: int = 8,
+                      width: int = 8) -> DataFrame:
+    """Deterministic synthetic image corpus: (url, html binary) where
+    html is a P6 ppm (even ids) or 24-bit BMP (odd ids) whose pixels are
+    a pure function of (id, y, x) — partition-count invariant, like the
+    pages generator (CLAUDE.md rule 6). Generated per Arrow batch from
+    spark.range ids; no driver-side data."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            urls, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                px = (i * 31 + yy * 13 + xx * 7) % 256  # int64 grid
+                img = np.stack([px, (px * 3 + 17) % 256,
+                                (px * 5 + 101) % 256],
+                               axis=2).astype(np.uint8)
+                blobs.append(encode_ppm(img) if i % 2 == 0
+                             else encode_bmp(img))
+                urls.append(f"img://corpus/{i:08d}")
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    return (spark.range(n).mapInPandas(
+        gen, schema="url string, html binary"))
 
 
 def frame_sample(
