@@ -566,6 +566,24 @@ def _q_multimodal_decode(spark, sf_dir):
                  F.round(F.avg("mean_r") + 1e-9, 6).alias("avg_mean_r")))
 
 
+def _q_multimodal_audio(spark, sf_dir):
+    # REAL RIFF/WAVE PCM decode (pure numpy) over deterministic synthetic
+    # clips; rows-only oracle (binary codec is non-SQL). Sample-precision
+    # round-trip parity is pinned in tests/test_multimodal_*.py.
+    from validatelite_spark.operators.multimodal import (
+        decode_media, synthesize_audio)
+    clips = synthesize_audio(spark, 2000, n_samples=2048, rate=16000)
+    feats = decode_media(clips, "html", "url", decoder="audio")
+    return (feats
+            .select("format",
+                    F.element_at("features", 4).alias("rms"),
+                    F.element_at("features", 5).alias("zcr"))
+            .groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("rms") + 1e-9, 6).alias("avg_rms"),
+                 F.round(F.avg("zcr") + 1e-9, 6).alias("avg_zcr")))
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -606,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_keep_sql": _q_pipeline_keep_sql,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
     }
 
 

@@ -84,6 +84,37 @@ class TestMultimodal:
         assert got["u2"]["features"] is None
         assert got["u3"]["format"] == "missing"
 
+    def test_real_audio_decode(self, spark):
+        """decoder='audio' really decodes RIFF/WAVE PCM (pure numpy)."""
+        import numpy as np
+        clips = multimodal.synthesize_audio(spark, 40, n_samples=2048,
+                                            rate=16000)
+        feats = multimodal.decode_media(clips, "html", "url",
+                                        decoder="audio").cache()
+        rows = {r["url"]: r for r in feats.collect()}
+        assert len(rows) == 40
+        assert all(r["format"] == "wav" for r in rows.values())
+        for r in rows.values():
+            f = r["features"]
+            assert len(f) == 21
+            assert f[0] == 1.0 and f[1] == 16000.0 and f[2] == 2048.0
+            assert abs(sum(f[5:]) - 1.0) < 1e-6  # normalized spectrum
+        # id=0 is a 110 Hz sine: rms ~ 0.5/sqrt(2), energy in bin 0
+        f0 = rows["audio://corpus/00000000"]["features"]
+        assert abs(f0[3] - 0.5 / np.sqrt(2)) < 1e-2
+        assert f0[5] == max(f0[5:])
+        # wav round-trip at sample precision
+        s = np.linspace(-0.8, 0.8, 500)
+        dec, rate = multimodal.decode_wav(multimodal.encode_wav(s, 8000))
+        assert rate == 8000
+        assert np.max(np.abs(dec[:, 0] - s)) < 1 / 32768 + 1e-9
+        # determinism across partitionings
+        again = multimodal.decode_media(
+            multimodal.synthesize_audio(spark, 40).repartition(7),
+            "html", "url", decoder="audio")
+        assert (sorted(map(tuple, rows.values())) ==
+                sorted(map(tuple, again.collect())))
+
     def test_frame_sample(self, spark):
         pages = synthesize_pages(spark, 40)
         frames = multimodal.frame_sample(pages, n_frames=4)

@@ -239,6 +239,116 @@ def _real_decode_batch(payloads: pd.Series) -> tuple[list[int], list[str],
     return n_bytes, formats, feats
 
 
+# --------------------------------------------------------------- audio
+def decode_wav(b: bytes) -> tuple[np.ndarray, int] | None:
+    """Decode a RIFF/WAVE PCM payload (8- or 16-bit integer PCM) to
+    (samples float64 in [-1, 1] shaped (n, channels), sample_rate).
+    Walks the chunk list (fmt may not directly precede data). Returns
+    None on parse failure / non-PCM."""
+    try:
+        if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks pad to even
+        if fmt is None or data is None:
+            return None
+        audio_fmt = int.from_bytes(fmt[0:2], "little")
+        nch = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_fmt != 1 or nch < 1 or bits not in (8, 16) or rate <= 0:
+            return None
+        if bits == 16:
+            raw = np.frombuffer(data, dtype="<i2",
+                                count=len(data) // 2)
+            samples = raw.astype(np.float64) / 32768.0
+        else:  # 8-bit PCM is unsigned
+            raw = np.frombuffer(data, dtype=np.uint8)
+            samples = (raw.astype(np.float64) - 128.0) / 128.0
+        n = len(samples) // nch
+        if n == 0:
+            return None
+        return samples[: n * nch].reshape(n, nch), rate
+    except Exception:
+        return None
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] (1-D mono or (n, ch)) as 16-bit
+    PCM RIFF/WAVE. Data-gen / round-trip helper for decode_wav."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    nch = arr.shape[1]
+    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    block = nch * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + nch.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    hdr = (b"RIFF" + (4 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+           + b"WAVE")
+    return hdr + fmt + b"data" + len(data).to_bytes(4, "little") + data
+
+
+def _audio_features(b: bytes) -> list[float] | None:
+    """21 floats, mirroring the image layout: [channels, sample_rate,
+    n_samples, rms, zero-crossing rate, 16-bin normalized magnitude
+    spectrum of the (mono-mixed) first 4096 samples]."""
+    decoded = decode_wav(b)
+    if decoded is None:
+        return None
+    samples, rate = decoded
+    mono = samples.mean(axis=1)
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    spec = np.abs(np.fft.rfft(mono[:4096]))
+    # 16 equal-width bins over the magnitude spectrum, L1-normalized
+    edges = np.linspace(0, len(spec), 17).astype(int)
+    bins = np.array([spec[a:z].sum() for a, z in zip(edges, edges[1:])])
+    total = bins.sum()
+    if total > 0:
+        bins = bins / total
+    return [float(samples.shape[1]), float(rate), float(len(mono)),
+            rms, zcr, *map(float, bins)]
+
+
+def _audio_decode_batch(payloads: pd.Series) -> tuple[list[int], list[str],
+                                                      list]:
+    n_bytes: list[int] = []
+    formats: list[str] = []
+    feats: list = []
+    for raw in payloads:
+        if raw is None:
+            n_bytes.append(0)
+            formats.append("missing")
+            feats.append(None)
+            continue
+        b = bytes(raw)
+        n_bytes.append(len(b))
+        is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        formats.append("wav" if is_wav else _sniff_format(b))
+        feats.append(_audio_features(b) if is_wav else None)
+    return n_bytes, formats, feats
+
+
+_DECODERS = {
+    "fake": _fake_decode_batch,
+    "image": _real_decode_batch,
+    "audio": _audio_decode_batch,
+}
+
+
 def decode_media(
     df: DataFrame,
     binary_col: str = "html",
@@ -251,11 +361,13 @@ def decode_media(
     decoder='image' → REAL decode for numpy-decodable formats (BMP,
                       binary PNM); features = [w, h, mean_r, mean_g,
                       mean_b, 16x thumbnail] or NULL if undecodable
+    decoder='audio' → REAL RIFF/WAVE PCM decode; features = [channels,
+                      rate, n_samples, rms, zcr, 16-bin spectrum] or
+                      NULL if undecodable
     """
-    if decoder not in ("fake", "image"):
+    if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
-    batch_fn = (_real_decode_batch if decoder == "image"
-                else _fake_decode_batch)
+    batch_fn = _DECODERS[decoder]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -294,6 +406,28 @@ def synthesize_images(spark, n: int, height: int = 8,
                 blobs.append(encode_ppm(img) if i % 2 == 0
                              else encode_bmp(img))
                 urls.append(f"img://corpus/{i:08d}")
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    return (spark.range(n).mapInPandas(
+        gen, schema="url string, html binary"))
+
+
+def synthesize_audio(spark, n: int, n_samples: int = 2048,
+                     rate: int = 16000) -> DataFrame:
+    """Deterministic synthetic audio corpus: (url, html binary) of
+    16-bit PCM WAVs. Each clip is a sine at a pitch that is a pure
+    function of the row id (partition-count invariant, rule 6)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n_samples, dtype=np.float64) / rate
+        for pdf in batches:
+            urls, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                freq = 110.0 * (1 + i % 37)  # 110 Hz .. ~4 kHz
+                wave = 0.5 * np.sin(2 * np.pi * freq * t)
+                blobs.append(encode_wav(wave, rate))
+                urls.append(f"audio://corpus/{i:08d}")
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     return (spark.range(n).mapInPandas(
