@@ -37,6 +37,33 @@ class TestIVF:
         # 3/8 buckets probed expect a nontrivial overlap
         assert len(got & exact) >= len(exact) // 4
 
+    def test_kmeans_refined_full_probe_still_exact(self, emb):
+        # whatever the quantizer, full probe must reproduce brute force
+        q = emb.filter("vec_id < 3")
+        exact = brute_force_topk(emb, q, k=5).collect()
+        full = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8,
+                        refine_iters=2).collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, full))
+
+    def test_kmeans_centroids_deterministic_and_helpful(self, emb):
+        from validatelite_spark.operators.similarity import (
+            kmeans_centroids)
+        c1 = kmeans_centroids(emb, 8, iters=2)
+        c2 = kmeans_centroids(emb.repartition(7), 8, iters=2)
+        assert c1 == c2  # partition-count invariant (rounded means)
+        # refined quantizer at partial probe: recall never collapses
+        # below the unrefined seed's floor, and stays genuine top-k
+        q = emb.filter("vec_id < 5")
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(emb, q, k=5).collect()}
+        seed = {(r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(emb, q, k=5, n_centroids=8,
+                                  n_probe=3).collect()}
+        refined = {(r["query_id"], r["neighbor_id"])
+                   for r in ivf_topk(emb, q, k=5, n_centroids=8,
+                                     n_probe=3, centroids=c1).collect()}
+        assert len(refined & exact) >= len(seed & exact)
+
 
 class TestBpeTokens:
     def test_counts_match_re_reference(self, spark):

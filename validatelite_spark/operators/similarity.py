@@ -237,13 +237,53 @@ def embedding_cosine_pairs(
 # ------------------------------------------------------------------- IVF
 def _centroids_of(corpus: DataFrame, n_centroids: int,
                   id_col: str, vec_col: str) -> list[list[float]]:
-    """Deterministic 'coarse quantizer': the first n_centroids vectors by
-    id. A production index would k-means these; determinism matters more
-    here (resume + N-vs-4N reproducibility), and probing depth covers
-    the quantization slack."""
+    """Deterministic coarse-quantizer seed: the first n_centroids vectors
+    by id. ``kmeans_centroids`` refines these with distributed Lloyd
+    iterations; probing depth covers any remaining quantization slack."""
     rows = (corpus.orderBy(id_col).limit(n_centroids)
             .select(vec_col).collect())
     return [list(r[0]) for r in rows]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Distributed Lloyd refinement of the deterministic first-N seed.
+
+    Each iteration assigns every vector to its argmax-dot centroid (pure
+    Column expr, same rule ``ivf_topk`` uses at query time) and recomputes
+    centroids as the per-bucket mean. The mean is computed via
+    posexplode → groupBy(bucket, dim).avg: partial aggregation runs
+    map-side, so the shuffle carries only k*dim rows per input partition
+    — scale-safe at any corpus size. Only the k*dim centroid matrix ever
+    reaches the driver (the standard broadcast-kmeans loop).
+
+    Centroids are rounded to ``round_to`` decimals after each iteration
+    so the result is partition-count invariant (float summation order
+    inside avg() is not; rounding absorbs it — rule 6 in CLAUDE.md).
+    Empty buckets keep their previous centroid."""
+    cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
+    for _ in range(iters):
+        def scores(vec: Column, _c=cents) -> Column:
+            return F.array(*[_dot_lit(vec, c) for c in _c])
+        assigned = corpus.select(
+            (F.array_position(scores(F.col(vec_col)),
+                              F.array_max(scores(F.col(vec_col)))) - 1)
+            .cast("int").alias("bucket"),
+            F.posexplode(F.col(vec_col).cast("array<double>"))
+            .alias("dim", "val"))
+        means = (assigned.groupBy("bucket", "dim")
+                 .agg(F.avg("val").alias("m")).collect())
+        nxt = [list(c) for c in cents]
+        for r in means:
+            nxt[r["bucket"]][r["dim"]] = round(r["m"] + 1e-12, round_to)
+        cents = nxt
+    return cents
 
 
 def _dot_lit(vec: Column, plane: list[float]) -> Column:
@@ -259,6 +299,8 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     round_to: int = 6,
+    refine_iters: int = 0,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their
     nearest-centroid bucket ONCE (argmax of centroid dots — pure Column
@@ -266,10 +308,21 @@ def ivf_topk(
     touches ~n_probe/n_centroids of the corpus. ``n_probe=n_centroids``
     degrades to exact brute force (tested).
 
+    ``refine_iters > 0`` runs that many distributed Lloyd iterations
+    (``kmeans_centroids``) to tighten the quantizer before bucketing —
+    better recall at the same ``n_probe``. ``centroids`` accepts a
+    precomputed quantizer (e.g. trained once, reused across queries).
+
     At 100 TB the bucketed corpus is written partitioned by bucket so a
     probe is a partition-pruned scan, and the assign step moves to a
     pandas UDF (one matmul per Arrow batch)."""
-    cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
+    if centroids is not None:
+        cents = centroids
+    elif refine_iters > 0:
+        cents = kmeans_centroids(corpus, n_centroids, id_col, vec_col,
+                                 iters=refine_iters, round_to=round_to)
+    else:
+        cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
     n_centroids = len(cents)
     n_probe = min(n_probe, n_centroids)
 
