@@ -7,7 +7,11 @@ checkpointed quality filter, writes annotated+scrubbed output and the
 per-rule metrics table next to it. Resumable: re-submit after a failure
 and only unfinished buckets run (pipeline/checkpoint.py manifest).
 
-Args: INPUT OUTPUT [n_buckets] [batch_buckets]
+Args: INPUT OUTPUT [n_buckets] [batch_buckets] [key_column]
+
+The bucket key defaults to ``url`` when the input has one (the
+Common-Crawl pages shape from BASELINE.json's input_hint), else the
+input's first column; pass ``key_column`` explicitly for anything else.
 """
 
 from __future__ import annotations
@@ -32,9 +36,11 @@ def main() -> int:
     from validatelite_spark.sources.reader import read_source
 
     df = read_source(spark, input_path)
+    key_column = (sys.argv[5] if len(sys.argv) > 5
+                  else "url" if "url" in df.columns else df.columns[0])
     pipe = QualityPipeline(spark)
     state = run_checkpointed(
-        df, pipe.annotate, output_path,
+        df, pipe.annotate, output_path, key_column=key_column,
         n_buckets=n_buckets, batch_buckets=batch_buckets,
         input_source=input_path,  # snapshot/fingerprint pin per manifest
         progress=lambda m: print(f"[checkpoint] {m}", flush=True))

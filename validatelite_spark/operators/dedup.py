@@ -178,6 +178,9 @@ def ngram_jaccard_pairs(
         hot = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > df_cap).select("s"))
         if log_dropped:
+            # cache so the logging count and the anti-join share one
+            # df-aggregation pass instead of recomputing it
+            hot = hot.cache()
             n_hot = hot.count()
             if n_hot:
                 logger.warning(

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,26 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _cosine_udf():
+    """Arrow-batched pairwise cosine: one einsum per batch instead of an
+    interpreted F.aggregate tree per row (CodegenFallback — BENCH.md
+    lesson 2). Used on the approximate (LSH) candidate-scoring paths;
+    the exact paths keep the pure-Column expression as the DuckDB-parity
+    anchor."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        a = np.array(v1.tolist(), dtype=np.float64)
+        b = np.array(v2.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = (np.sqrt(np.einsum("ij,ij->i", a, a))
+               * np.sqrt(np.einsum("ij,ij->i", b, b)))
+        return pd.Series(num / den)
+
+    return cos
 
 
 def brute_force_topk(
@@ -96,8 +118,35 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def _table_signatures(vec: Column, tables: list[list[list[float]]]) -> Column:
-    """array<long> — one LSH signature per hash table."""
+    """array<long> — one LSH signature per hash table (pure Column).
+
+    Kept as the no-Python fallback; the hot path is
+    ``_table_signatures_pandas``: ``F.aggregate`` is CodegenFallback
+    (interpreted per row), so L*b of them per vector is ~10-40x slower
+    than one Arrow-batched matmul (BENCH.md lesson 2)."""
     return F.array(*[lsh_signature(vec, planes) for planes in tables])
+
+
+def _table_signatures_pandas(tables: list[list[list[float]]]):
+    """Vectorized signature UDF: ONE numpy matmul per Arrow batch
+    computes all L*b plane dots, then sign bits fold into L longs.
+    Same math as the Column version (sign of <v, plane>), same
+    everywhere → partition/cluster-size invariant."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(tables, dtype=np.float64)  # (L, b, dim)
+    n_tables, n_planes, dim = planes.shape
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sigs(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (mat @ flat.T) > 0                      # (n, L*b)
+        folded = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(list(folded))
+
+    return sigs
 
 
 def lsh_topk(
@@ -133,29 +182,28 @@ def lsh_topk(
     tables = [_hyperplanes(dim, n_planes, seed + 7919 * t)
               for t in range(n_tables)]
 
+    sig_udf = _table_signatures_pandas(tables)
+
     c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
-                           F.col(vec_col).alias("cv"),
-                           _norm(F.col(vec_col)).alias("cn"))
+                           F.col(vec_col).alias("cv"))
     c_idx = c_vecs.select(
         "neighbor_id",
-        F.posexplode(_table_signatures(F.col("cv"), tables))
-        .alias("table", "bucket"))
+        F.posexplode(sig_udf(F.col("cv"))).alias("table", "bucket"))
 
     q_vecs = queries.select(F.col(id_col).alias("query_id"),
-                            F.col(vec_col).alias("qv"),
-                            _norm(F.col(vec_col)).alias("qn"))
-    probes = []
-    for t in range(n_tables):
-        sig = lsh_signature(F.col("qv"), tables[t])
-        buckets = [sig]
-        if multi_probe:
-            buckets += [sig.bitwiseXOR(F.lit(1 << i).cast("long"))
-                        for i in range(n_planes)]
-        probes += [F.struct(F.lit(t).alias("table"), b.alias("bucket"))
-                   for b in buckets]
-    q_idx = q_vecs.select(
-        "query_id", F.explode(F.array(*probes)).alias("p")
-    ).select("query_id", F.col("p.table"), F.col("p.bucket"))
+                            F.col(vec_col).alias("qv"))
+    # per-table signature, then (multi-probe) its b single-bit flips —
+    # flips are integer ops on the already-computed signature
+    probe_buckets = [F.col("sig")]
+    if multi_probe:
+        probe_buckets += [F.col("sig").bitwiseXOR(F.lit(1 << i).cast("long"))
+                          for i in range(n_planes)]
+    q_idx = (
+        q_vecs.select("query_id",
+                      F.posexplode(sig_udf(F.col("qv")))
+                      .alias("table", "sig"))
+        .select("query_id", "table",
+                F.explode(F.array(*probe_buckets)).alias("bucket")))
 
     candidates = (
         c_idx.join(F.broadcast(q_idx), ["table", "bucket"])
@@ -167,8 +215,8 @@ def lsh_topk(
         candidates.join(c_vecs, "neighbor_id")
         .join(F.broadcast(q_vecs), "query_id")
         .withColumn("score",
-                    F.round(_dot(F.col("cv"), F.col("qv"))
-                            / (F.col("cn") * F.col("qn")), round_to))
+                    F.round(_cosine_udf()(F.col("cv"), F.col("qv")),
+                            round_to))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id"))
@@ -204,10 +252,8 @@ def embedding_cosine_pairs(
     (the default b=4/L=16 reaches ≈0.94 recall at cosine 0.4).
     ``dim``: pass the embedding dimensionality to avoid a driver-side
     ``first()`` job at plan time."""
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
-                  _norm(F.col(vec_col)).alias("n1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
-                  _norm(F.col(vec_col)).alias("n2"))
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     if n_planes > 0:
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
@@ -215,7 +261,7 @@ def embedding_cosine_pairs(
                   for t in range(n_tables)]
         idx = df.select(
             F.col(id_col).alias("k"),
-            F.posexplode(_table_signatures(F.col(vec_col), tables))
+            F.posexplode(_table_signatures_pandas(tables)(F.col(vec_col)))
             .alias("table", "bucket"))
         i1 = idx.select(F.col("k").alias("id1"), "table", "bucket")
         i2 = idx.select(F.col("k").alias("id2"), "table", "bucket")
@@ -223,12 +269,17 @@ def embedding_cosine_pairs(
                       .filter(F.col("id1") < F.col("id2"))
                       .select("id1", "id2").distinct())
         joined = candidates.join(a, "id1").join(b, "id2")
+        score = _cosine_udf()(F.col("v1"), F.col("v2"))
     else:
+        # exact path: pure-Column arithmetic — the DuckDB oracle anchor;
+        # norms precomputed per vector (not per pair)
+        a = a.withColumn("n1", _norm(F.col("v1")))
+        b = b.withColumn("n2", _norm(F.col("v2")))
         joined = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+        score = (_dot(F.col("v1"), F.col("v2"))
+                 / (F.col("n1") * F.col("n2")))
     return (
-        joined.withColumn("score",
-                          F.round(_dot(F.col("v1"), F.col("v2"))
-                                  / (F.col("n1") * F.col("n2")), round_to))
+        joined.withColumn("score", F.round(score, round_to))
         .filter(F.col("score") >= threshold)
         .select("id1", "id2", "score")
     )
