@@ -584,6 +584,24 @@ def _q_multimodal_audio(spark, sf_dir):
                  F.round(F.avg("zcr") + 1e-9, 6).alias("avg_zcr")))
 
 
+def _q_multimodal_video(spark, sf_dir):
+    # REAL YUV4MPEG2 decode (pure numpy) over deterministic synthetic
+    # clips; rows-only oracle (binary codec is non-SQL). Frame-exact
+    # round-trip parity is pinned in tests/test_multimodal_*.py.
+    from validatelite_spark.operators.multimodal import (
+        decode_media, synthesize_videos)
+    vids = synthesize_videos(spark, 500, n_frames=6, height=16, width=16)
+    feats = decode_media(vids, "html", "url", decoder="video")
+    return (feats
+            .select("format",
+                    F.element_at("features", 3).alias("n_frames"),
+                    F.element_at("features", 5).alias("motion"))
+            .groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("n_frames") + 1e-9, 6).alias("avg_frames"),
+                 F.round(F.avg("motion") + 1e-9, 6).alias("avg_motion")))
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -625,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video": _q_multimodal_video,
     }
 
 

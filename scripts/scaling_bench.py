@@ -19,7 +19,7 @@ Methodology notes (hard-won on this host):
 - default 1.6M docs amortizes the per-query fixed cost (planning +
   codegen ≈ 3 s) to <5% of the run.
 
-Usage: python scripts/scaling_bench.py [n_docs] [N] → one JSON line
+Usage: python scripts/scaling_bench.py [n_docs] [N] [repeats] → one JSON line
 """
 
 from __future__ import annotations
@@ -72,8 +72,9 @@ def run_level(cpus: int, n_docs: int, repeats: int = 3) -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    r_n = run_level(n, n_docs)
-    r_4n = run_level(4 * n, n_docs)
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    r_n = run_level(n, n_docs, repeats)
+    r_4n = run_level(4 * n, n_docs, repeats)
     eff = (r_4n["docs_per_sec"] / r_n["docs_per_sec"]) / 4.0
     print(json.dumps({
         "metric": f"scaling_efficiency_{n}_to_{4*n}",

@@ -115,6 +115,40 @@ class TestMultimodal:
         assert (sorted(map(tuple, rows.values())) ==
                 sorted(map(tuple, again.collect())))
 
+    def test_real_video_decode(self, spark):
+        """decoder='video' really decodes YUV4MPEG2 (pure numpy)."""
+        import numpy as np
+        vids = multimodal.synthesize_videos(spark, 24, n_frames=6,
+                                            height=8, width=8, fps=25)
+        feats = multimodal.decode_media(vids, "html", "url",
+                                        decoder="video").cache()
+        rows = {r["url"]: r for r in feats.collect()}
+        assert len(rows) == 24
+        assert all(r["format"] == "y4m" for r in rows.values())
+        for r in rows.values():
+            f = r["features"]
+            assert len(f) == 21
+            assert f[:4] == [8.0, 8.0, 6.0, 25.0]  # w, h, frames, fps
+            assert f[4] > 0  # the moving gradient has motion
+        # pin id=0's motion against an independent numpy recompute
+        ff, yy, xx = np.mgrid[0:6, 0:8, 0:8]
+        luma = ((ff * 11 + yy * 13 + xx * 7) % 256).astype(np.uint8)
+        exp = float(np.mean(np.abs(np.diff(
+            luma.astype(np.float64) / 255.0, axis=0))))
+        got = rows["video://corpus/00000000"]["features"][4]
+        assert abs(got - exp) < 1e-6  # features land as float32
+        # y4m round-trip at byte precision
+        frames = (np.arange(4 * 6 * 8, dtype=np.int64) % 256
+                  ).astype(np.uint8).reshape(4, 6, 8)
+        dec, fps = multimodal.decode_y4m(multimodal.encode_y4m(frames, 30))
+        assert fps == 30.0 and np.array_equal(dec, frames)
+        # determinism across partitionings
+        again = multimodal.decode_media(
+            multimodal.synthesize_videos(spark, 24).repartition(5),
+            "html", "url", decoder="video")
+        assert (sorted(map(tuple, rows.values())) ==
+                sorted(map(tuple, again.collect())))
+
     def test_frame_sample(self, spark):
         pages = synthesize_pages(spark, 40)
         frames = multimodal.frame_sample(pages, n_frames=4)
@@ -153,6 +187,31 @@ class TestSources:
     def test_iceberg_stub_errors_cleanly(self, spark):
         with pytest.raises(SourceError):
             read_source(spark, "iceberg://catalog.db.tbl")
+
+    def test_excel_multisheet_scan(self, spark, tmp_path):
+        """Excel scan via the pure-stdlib xlsx parser (no openpyxl):
+        multi-sheet, typed cells, None padding, read_source dispatch."""
+        from validatelite_spark.sources.reader import read_excel
+        from validatelite_spark.sources.xlsx import write_xlsx
+        p = str(tmp_path / "book.xlsx")
+        write_xlsx(p, {
+            "people": (["name", "age"],
+                       [["alice", 31], ["bob", 28], [None, None]]),
+            "scores": (["k", "v"], [["a", 1.5], ["b", 2.0]]),
+        })
+        sheets = read_excel(spark, p)
+        assert set(sheets) == {"people", "scores"}
+        got = {r["name"]: r["age"] for r in sheets["people"].collect()}
+        assert got == {"alice": 31, "bob": 28, None: None}
+        one = read_excel(spark, p, sheet_name="scores")
+        assert one.count() == 2
+        # read_source dispatches .xlsx (first sheet by default)
+        assert read_source(spark, p).count() == 3
+        assert read_source(spark, p, sheet_name="scores").count() == 2
+        with pytest.raises(SourceError):
+            read_excel(spark, p, sheet_name="missing")
+        with pytest.raises(SourceError):
+            read_excel(spark, str(tmp_path / "old.xls"))
 
 
 class TestStreaming:

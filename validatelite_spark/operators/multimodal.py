@@ -342,10 +342,111 @@ def _audio_decode_batch(payloads: pd.Series) -> tuple[list[int], list[str],
     return n_bytes, formats, feats
 
 
+# --------------------------------------------------------------- video
+def decode_y4m(b: bytes) -> tuple[np.ndarray, float] | None:
+    """Decode a YUV4MPEG2 (y4m) stream — the uncompressed video format
+    decodable with pure numpy. Supports C420 (default) and C444 8-bit.
+    Returns (luma frames uint8 shaped (n_frames, H, W), fps). Chroma
+    planes are parsed (to advance correctly) but only luma is kept —
+    the features below are luma statistics. None on parse failure."""
+    try:
+        if not b.startswith(b"YUV4MPEG2"):
+            return None
+        nl = b.index(b"\n")
+        w = h = 0
+        fps = 0.0
+        csp = "420"
+        for tok in b[9:nl].split():
+            t = tok.decode("ascii", "replace")
+            if t[0] == "W":
+                w = int(t[1:])
+            elif t[0] == "H":
+                h = int(t[1:])
+            elif t[0] == "F":
+                num, den = t[1:].split(":")
+                fps = int(num) / int(den)
+            elif t[0] == "C":
+                csp = t[1:]
+        if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+            return None
+        if csp.startswith("420"):
+            frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+        elif csp.startswith("444"):
+            frame_bytes = 3 * w * h
+        else:
+            return None
+        pos, frames = nl + 1, []
+        while pos < len(b):
+            if not b.startswith(b"FRAME", pos):
+                return None
+            pos = b.index(b"\n", pos) + 1  # FRAME line may carry params
+            if pos + frame_bytes > len(b):
+                return None
+            frames.append(np.frombuffer(
+                b, dtype=np.uint8, count=w * h, offset=pos).reshape(h, w))
+            pos += frame_bytes
+        if not frames:
+            return None
+        return np.stack(frames), fps
+    except Exception:
+        return None
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (n, H, W) uint8 luma frames as C420 y4m with neutral
+    (128) chroma. Data-gen / round-trip helper for decode_y4m."""
+    n, h, w = frames.shape
+    hdr = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps)
+    chroma = np.full(((h // 2) * (w // 2)), 128, dtype=np.uint8).tobytes()
+    out = [hdr]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def _video_features(b: bytes) -> list[float] | None:
+    """21 floats: [w, h, n_frames, fps, mean inter-frame luma delta,
+    16-value 4x4 luma thumbnail of the middle frame]."""
+    decoded = decode_y4m(b)
+    if decoded is None:
+        return None
+    frames, fps = decoded
+    n, h, w = frames.shape
+    px = frames.astype(np.float64) / 255.0
+    motion = (float(np.mean(np.abs(np.diff(px, axis=0))))
+              if n > 1 else 0.0)
+    thumb = resize_nearest(px[n // 2], 4, 4).ravel()
+    return [float(w), float(h), float(n), float(fps), motion,
+            *map(float, thumb)]
+
+
+def _video_decode_batch(payloads: pd.Series) -> tuple[list[int], list[str],
+                                                      list]:
+    n_bytes: list[int] = []
+    formats: list[str] = []
+    feats: list = []
+    for raw in payloads:
+        if raw is None:
+            n_bytes.append(0)
+            formats.append("missing")
+            feats.append(None)
+            continue
+        b = bytes(raw)
+        n_bytes.append(len(b))
+        is_y4m = b.startswith(b"YUV4MPEG2")
+        formats.append("y4m" if is_y4m else _sniff_format(b))
+        feats.append(_video_features(b) if is_y4m else None)
+    return n_bytes, formats, feats
+
+
 _DECODERS = {
     "fake": _fake_decode_batch,
     "image": _real_decode_batch,
     "audio": _audio_decode_batch,
+    "video": _video_decode_batch,
 }
 
 
@@ -364,6 +465,9 @@ def decode_media(
     decoder='audio' → REAL RIFF/WAVE PCM decode; features = [channels,
                       rate, n_samples, rms, zcr, 16-bin spectrum] or
                       NULL if undecodable
+    decoder='video' → REAL YUV4MPEG2 (y4m) decode; features = [w, h,
+                      n_frames, fps, motion, 4x4 mid-frame luma
+                      thumbnail] or NULL if undecodable
     """
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -428,6 +532,28 @@ def synthesize_audio(spark, n: int, n_samples: int = 2048,
                 wave = 0.5 * np.sin(2 * np.pi * freq * t)
                 blobs.append(encode_wav(wave, rate))
                 urls.append(f"audio://corpus/{i:08d}")
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    return (spark.range(n).mapInPandas(
+        gen, schema="url string, html binary"))
+
+
+def synthesize_videos(spark, n: int, n_frames: int = 6, height: int = 8,
+                      width: int = 8, fps: int = 25) -> DataFrame:
+    """Deterministic synthetic video corpus: (url, html binary) of y4m
+    clips whose luma is a pure function of (id, frame, y, x) — a moving
+    gradient, so inter-frame motion is nonzero and pinned."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ff, yy, xx = np.mgrid[0:n_frames, 0:height, 0:width]
+        for pdf in batches:
+            urls, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                luma = ((i * 29 + ff * 11 + yy * 13 + xx * 7) % 256
+                        ).astype(np.uint8)
+                blobs.append(encode_y4m(luma, fps))
+                urls.append(f"video://corpus/{i:08d}")
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     return (spark.range(n).mapInPandas(

@@ -49,6 +49,11 @@ def read_source(
         return _read_jdbc(spark, source, **options)
     if low.startswith("iceberg://") or options.get("format") == "iceberg":
         return read_iceberg(spark, source.removeprefix("iceberg://"))
+    if low.endswith(".xlsx") or options.get("format") == "excel":
+        res = read_excel(spark, source, options.get("sheet_name"))
+        if isinstance(res, dict):  # no sheet given → first sheet
+            return next(iter(res.values()))
+        return res
 
     path = source
     ext = os.path.splitext(path.rstrip("/"))[1].lower()
@@ -114,22 +119,32 @@ def write_sink(df: DataFrame, path: str, fmt: str = "parquet",
     getattr(writer, fmt)(path)
 
 
+def _sheet_to_df(spark: SparkSession, header: list[str],
+                 rows: list[list]) -> DataFrame:
+    import pandas as pd
+    return spark.createDataFrame(pd.DataFrame(rows, columns=header))
+
+
 def read_excel(spark: SparkSession, path: str,
                sheet_name: Optional[str] = None):
     """Excel scan — the reference loads each sheet into its own table
-    (reference: cli/core/data_validator.py:339-350, 482-551). Here each
-    sheet becomes a DataFrame via pandas → Arrow → Spark (driver-side
-    read: Excel files are small by construction; a 100 TB pipeline never
-    feeds from xlsx). Requires openpyxl/xlrd — gated behind import-try
-    because this environment ships neither."""
+    (reference: cli/core/data_validator.py:339-350, 482-551). Each
+    sheet becomes a DataFrame via the pure-stdlib xlsx parser
+    (sources/xlsx.py: zipfile + xml.etree — no openpyxl needed) →
+    pandas → Arrow → Spark. Driver-side read by design: Excel files are
+    small by construction; a 100 TB pipeline never feeds from xlsx.
+    Legacy binary .xls is not supported."""
+    if path.lower().endswith(".xls"):
+        raise SourceError("legacy .xls not supported; convert to .xlsx")
+    from validatelite_spark.sources.xlsx import read_xlsx
     try:
-        import pandas as pd  # noqa: F401 (always present)
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise SourceError(
-            f"Excel support needs openpyxl (not installed): {e}") from e
-    import pandas as pd
+        sheets = read_xlsx(path, sheet_name=sheet_name)
+    except KeyError as e:
+        raise SourceError(str(e)) from e
+    except Exception as e:
+        raise SourceError(f"cannot parse xlsx {path!r}: {e}") from e
     if sheet_name is not None:
-        return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet_name))
-    sheets = pd.read_excel(path, sheet_name=None)  # dict of all sheets
-    return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}
+        header, rows = sheets[sheet_name]
+        return _sheet_to_df(spark, header, rows)
+    return {name: _sheet_to_df(spark, header, rows)
+            for name, (header, rows) in sheets.items()}
