@@ -584,6 +584,34 @@ def _q_multimodal_audio(spark, sf_dir):
                  F.round(F.avg("zcr") + 1e-9, 6).alias("avg_zcr")))
 
 
+def _q_dedup_groups(spark, sf_dir):
+    # connected components over the (oracled) exact-jaccard near-dup
+    # pairs: (doc_id, group_id=min id in component) — the dedup-cluster
+    # step of a training pipeline. Oracle: recursive CTE closure.
+    from validatelite_spark.operators.dedup import (dedup_groups,
+                                                    ngram_jaccard_pairs)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_groups(pairs)
+
+
+_CC_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT id1, id2 FROM ({jaccard}) jq
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2 AS src, id1 AS dst FROM pairs
+), reach AS (
+  SELECT src AS v, src AS label FROM edges
+  UNION
+  SELECT e.dst AS v, r.label
+  FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS doc_id, min(label) AS group_id FROM reach GROUP BY v
+"""
+
+
 def _q_multimodal_video(spark, sf_dir):
     # REAL YUV4MPEG2 decode (pure numpy) over deterministic synthetic
     # clips; rows-only oracle (binary codec is non-SQL). Frame-exact
@@ -644,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_video": _q_multimodal_video,
+        "dedup_groups": _q_dedup_groups,
     }
 
 
@@ -731,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY {_d_fingerprint(t)})""",
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "minhash_lsh_pairs": _JACCARD_ORACLE,  # LSH+verify ≡ exhaustive
+        "dedup_groups": _CC_ORACLE.format(jaccard=_JACCARD_ORACLE),
         "bpe_token_stats": f"""
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}')))

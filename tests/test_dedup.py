@@ -28,6 +28,35 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string").cache()
 
 
+class TestDedupGroups:
+    def test_connected_components_min_label(self, spark):
+        # components: {1,2,3,4} (a chain), {7,9}, singletons never appear
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (9, 7)], "id1 long, id2 long")
+        got = {r["doc_id"]: r["group_id"]
+               for r in dedup.dedup_groups(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    def test_partition_invariance(self, spark):
+        import itertools
+        edges = [(a, b) for a, b in itertools.combinations(range(12), 2)
+                 if (a % 3) == (b % 3)]  # 3 cliques of 4
+        pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+        one = sorted(map(tuple, dedup.dedup_groups(pairs).collect()))
+        two = sorted(map(tuple,
+                         dedup.dedup_groups(pairs.repartition(7)).collect()))
+        assert one == two
+        assert {g for _, g in one} == {0, 1, 2}
+
+    def test_keep_representatives(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+        groups = dedup.dedup_groups(pairs)
+        kept = dedup.keep_representatives(docs, groups)
+        ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+        # {0,1,2} near-dups → keep 0; {3,4} → keep 3; others untouched
+        assert ids == [0, 3, 5, 6, 7]
+
+
 class TestExactDedup:
     def test_keeps_min_key_per_fingerprint(self, docs):
         kept = dedup.exact_dedup(docs)

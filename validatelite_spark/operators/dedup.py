@@ -341,3 +341,66 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("distance") <= max_distance)
     )
+
+
+# -------------------------------------------------------- dedup groups
+def dedup_groups(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, group_id).
+
+    ``group_id`` is the minimum doc id in the component, so labels are
+    deterministic at any partitioning/cluster size. Min-label
+    propagation: each iteration every vertex takes the min of its own
+    and its neighbors' labels; converges in O(graph diameter) rounds —
+    near-dup components are cliques-ish, so typically 2-3.
+
+    Scale shape: one shuffle per round (edges ⋈ labels then
+    groupBy(v).min), label table is (id, id) only, and each round
+    materializes via localCheckpoint so the plan/lineage does not grow
+    with iterations (the standard iterative-algorithm hygiene; at
+    cluster scale use a checkpoint dir on the shared FS instead).
+    Returns only vertices that appear in ``pairs`` — docs with no
+    near-dup are their own group by definition."""
+    # materialize the (possibly expensive) pair plan ONCE — the
+    # bidirectional union below would otherwise recompute it twice
+    pairs = pairs.select(id1, id2).localCheckpoint()
+    edges = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+             .union(pairs.select(F.col(id2).alias("src"),
+                                 F.col(id1).alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("v")).distinct()
+              .withColumn("label", F.col("v")).localCheckpoint())
+    for _ in range(max_iters):
+        msgs = (edges.join(labels.withColumnRenamed("v", "src"), "src")
+                .select(F.col("dst").alias("v"), "label"))
+        new = (labels.unionByName(msgs)
+               .groupBy("v").agg(F.min("label").alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "v")
+                   .filter(F.col("label") < F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"),
+                         F.col("label").alias("group_id"))
+
+
+def keep_representatives(
+    df: DataFrame,
+    groups: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Drop all but one doc per near-dup group: keep the doc whose id IS
+    the group label (the min id — deterministic), plus every doc in no
+    group. ``groups`` is dedup_groups' output; it is tiny relative to
+    the corpus (only docs WITH a near-dup appear), so the join
+    broadcasts at typical dup rates."""
+    g = groups.withColumnRenamed("doc_id", key_col)
+    return (df.join(F.broadcast(g), key_col, "left")
+            .filter(F.col("group_id").isNull()
+                    | (F.col(key_col) == F.col("group_id")))
+            .drop("group_id"))
