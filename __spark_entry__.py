@@ -584,6 +584,30 @@ def _q_multimodal_audio(spark, sf_dir):
                  F.round(F.avg("zcr") + 1e-9, 6).alias("avg_zcr")))
 
 
+def _q_asof_purchase_click(spark, sf_dir):
+    # as-of join (Spark lacks it; operators/joins.py is the linear
+    # union+window composition): each purchase matched to the same
+    # user's most recent preceding click. Oracle: DuckDB's native
+    # ASOF LEFT JOIN.
+    from validatelite_spark.operators.joins import asof_join
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = asof_join(purchases, clicks, by="user_id", left_ts="ts",
+                  right_ts="ts", right_prefix="click_",
+                  tiebreak="event_id")
+    # parquet timestamps are TIMESTAMP_NTZ in Spark 4; session tz is UTC
+    # so the tz-aware cast matches DuckDB's epoch()
+    def _epoch(c):
+        return F.unix_micros(F.col(c).cast("timestamp")) / 1e6
+    return j.select(
+        "event_id", "user_id",
+        F.col("click_event_id"),
+        F.round(_epoch("ts") - _epoch("click_ts") + 1e-9, 4)
+        .alias("gap_sec"))
+
+
 def _q_dedup_groups(spark, sf_dir):
     # connected components over the (oracled) exact-jaccard near-dup
     # pairs: (doc_id, group_id=min id in component) — the dedup-cluster
@@ -673,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_video": _q_multimodal_video,
         "dedup_groups": _q_dedup_groups,
+        "asof_purchase_click": _q_asof_purchase_click,
     }
 
 
@@ -761,6 +786,14 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "minhash_lsh_pairs": _JACCARD_ORACLE,  # LSH+verify ≡ exhaustive
         "dedup_groups": _CC_ORACLE.format(jaccard=_JACCARD_ORACLE),
+        "asof_purchase_click": """
+            SELECT p.event_id, p.user_id,
+                   c.event_id AS click_event_id,
+                   round(epoch(p.ts) - epoch(c.ts) + 1e-9, 4) AS gap_sec
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts""",
         "bpe_token_stats": f"""
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}')))
