@@ -608,6 +608,29 @@ def _q_asof_purchase_click(spark, sf_dir):
         .alias("gap_sec"))
 
 
+def _q_range_signup_purchase(spark, sf_dir):
+    # range join (point-in-interval) without the nested-loop plan:
+    # purchases within 2 days after a signup by the same user. Oracle:
+    # plain inequality join in DuckDB.
+    from validatelite_spark.operators.joins import range_join
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    epoch = (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", epoch.alias("pt")))
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select(F.col("event_id").alias("signup_id"), "user_id",
+                       epoch.alias("start"),
+                       (epoch + 2 * 86400).alias("end")))
+    j = range_join(purchases, signups, left_point="pt",
+                   right_start="start", right_end="end",
+                   bucket_width=2 * 86400, by="user_id")
+    return (j.select("event_id", F.col("right_signup_id").alias("signup_id"),
+                     "user_id",
+                     F.round(F.col("pt") - F.col("right_start") + 1e-9, 4)
+                     .alias("delay_sec")))
+
+
 def _q_dedup_groups(spark, sf_dir):
     # connected components over the (oracled) exact-jaccard near-dup
     # pairs: (doc_id, group_id=min id in component) — the dedup-cluster
@@ -698,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": _q_multimodal_video,
         "dedup_groups": _q_dedup_groups,
         "asof_purchase_click": _q_asof_purchase_click,
+        "range_signup_purchase": _q_range_signup_purchase,
     }
 
 
@@ -794,6 +818,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "range_signup_purchase": """
+            SELECT p.event_id, s.event_id AS signup_id, p.user_id,
+                   round(epoch(p.ts) - epoch(s.ts) + 1e-9, 4) AS delay_sec
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id
+             AND epoch(p.ts) >= epoch(s.ts)
+             AND epoch(p.ts) < epoch(s.ts) + 2 * 86400""",
         "bpe_token_stats": f"""
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}')))

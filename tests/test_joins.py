@@ -46,3 +46,37 @@ class TestAsofJoin:
         b = sorted(map(tuple, asof_join(
             left.repartition(7), right.repartition(3), by="k").collect()))
         assert a == b
+
+
+class TestRangeJoin:
+    def test_point_in_interval_semantics(self, spark):
+        from validatelite_spark.operators.joins import range_join
+        pts = _df(spark, [(1, 5.0), (2, 10.0), (3, 20.0), (4, 35.0)],
+                  "pid long, x double")
+        ivs = _df(spark, [(100, 0.0, 10.0), (200, 8.0, 25.0),
+                          (300, 40.0, 50.0)],
+                  "iid long, s double, e double")
+        got = sorted((r["pid"], r["right_iid"]) for r in range_join(
+            pts, ivs, "x", "s", "e", bucket_width=7.0).collect())
+        # 5∈[0,10); 10∈[8,25) but NOT [0,10) (exclusive end); 20∈[8,25)
+        assert got == [(1, 100), (2, 200), (3, 200)]
+        incl = sorted((r["pid"], r["right_iid"]) for r in range_join(
+            pts, ivs, "x", "s", "e", bucket_width=7.0,
+            inclusive_end=True).collect())
+        assert (2, 100) in incl  # 10 <= 10 now matches
+
+    def test_no_nested_loop_in_plan_and_keyed(self, spark):
+        from validatelite_spark.operators.joins import range_join
+        pts = _df(spark, [(i, i % 3, float(i)) for i in range(60)],
+                  "pid long, k long, x double")
+        ivs = _df(spark, [(100 + i, i % 3, float(i), float(i) + 5.0)
+                          for i in range(60)],
+                  "iid long, k long, s double, e double")
+        j = range_join(pts, ivs, "x", "s", "e", bucket_width=5.0, by="k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        # brute-force reference
+        want = sorted((p, 100 + i) for p in range(60) for i in range(60)
+                      if p % 3 == i % 3 and i <= p < i + 5)
+        got = sorted((r["pid"], r["right_iid"]) for r in j.collect())
+        assert got == want

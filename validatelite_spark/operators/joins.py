@@ -10,8 +10,20 @@
   sort-shuffle of |L|+|R| rows at any scale; skewed keys behave exactly
   like any window partition (salt upstream if one key dominates).
 
-DuckDB's native ``ASOF JOIN`` is the oracle for the driver query
-(__spark_entry__.py: asof_purchase_click).
+- **range join** (point-in-interval): naive Spark turns
+  ``l.x BETWEEN r.start AND r.end`` into BroadcastNestedLoopJoin (or a
+  full cartesian when neither side broadcasts) — O(|L|·|R|) at scale.
+  ``range_join`` buckets the number line: each right interval explodes
+  to the fixed-width buckets it covers, each left point lands in
+  exactly ONE bucket, and the equi-join on (key, bucket) + exact
+  predicate recovers the precise result. Each (l, r) pair meets at most
+  once (the point's single bucket), so no dedup pass. Pick
+  ``bucket_width`` ≈ the typical interval length: cost is
+  |L| + |R|·(avg_span/width) shuffled rows.
+
+DuckDB is the oracle for the driver queries (__spark_entry__.py:
+asof_purchase_click via native ASOF JOIN, range_signup_purchase via a
+plain inequality join).
 """
 
 from __future__ import annotations
@@ -68,3 +80,49 @@ def asof_join(
     out = [F.col(f"__l.{c}").alias(c) for c in lcols]
     out += [F.col(f"__rm.{c}").alias(f"{right_prefix}{c}") for c in rcols]
     return matched.select(*out)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    by: str | None = None,
+    right_prefix: str = "right_",
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to every right row with
+    ``right_start <= left_point < right_end`` (``<=`` end when
+    ``inclusive_end``), optionally also keyed on ``by``.
+
+    Physical shape: right intervals posexplode into the integer buckets
+    ``floor(start/w) .. floor(end/w)``; left points map to their single
+    bucket; Catalyst runs a plain shuffled equi-join on (by, bucket) and
+    the exact range predicate filters inside the join — never a nested-
+    loop/cartesian plan. Range columns must be numeric (cast timestamps
+    to epoch seconds first)."""
+    w = float(bucket_width)
+    lcols, rcols = left.columns, right.columns
+    # right columns are renamed up front so a self-join (both sides
+    # derived from the same DataFrame) never hits ambiguous-column refs
+    p = right_prefix
+    lb = left.select(
+        *[F.col(c) for c in lcols],
+        F.floor(F.col(left_point) / F.lit(w)).cast("long").alias("__lb"))
+    rb = right.select(
+        *[F.col(c).alias(f"{p}{c}") for c in rcols],
+        F.explode(F.sequence(
+            F.floor(F.col(right_start) / F.lit(w)).cast("long"),
+            F.floor(F.col(right_end) / F.lit(w)).cast("long")))
+        .alias("__rb"))
+    cond = F.col("__lb") == F.col("__rb")
+    if by is not None:
+        cond = cond & (F.col(by) == F.col(f"{p}{by}"))
+    pt, start, end = (F.col(left_point), F.col(f"{p}{right_start}"),
+                      F.col(f"{p}{right_end}"))
+    return (lb.join(rb, cond)
+            .filter((pt >= start) & ((pt <= end) if inclusive_end
+                                     else (pt < end)))
+            .select(*lcols, *[f"{p}{c}" for c in rcols]))
