@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "tpch_q1",
     "top_customers",
     "perplexity_by_source",
+    "asof_purchase_click",
+    "range_signup_purchase",
+    "multimodal_decode",
 ]
 
 

@@ -512,7 +512,13 @@ def synthesize_images(spark, n: int, height: int = 8,
                 urls.append(f"img://corpus/{i:08d}")
             yield pd.DataFrame({"url": urls, "html": blobs})
 
-    return (spark.range(n).mapInPandas(
+    # few rows per clip corpus: size partitions to the data, not the
+    # cluster (a 32-slot session would spin 32 Python workers for 2k
+    # rows); output is a pure function of id, so the count is free to
+    # vary without changing results
+    parts = max(1, min(int(spark.sparkContext.defaultParallelism),
+                       n // 256))
+    return (spark.range(n, numPartitions=parts).mapInPandas(
         gen, schema="url string, html binary"))
 
 
@@ -534,7 +540,13 @@ def synthesize_audio(spark, n: int, n_samples: int = 2048,
                 urls.append(f"audio://corpus/{i:08d}")
             yield pd.DataFrame({"url": urls, "html": blobs})
 
-    return (spark.range(n).mapInPandas(
+    # few rows per clip corpus: size partitions to the data, not the
+    # cluster (a 32-slot session would spin 32 Python workers for 2k
+    # rows); output is a pure function of id, so the count is free to
+    # vary without changing results
+    parts = max(1, min(int(spark.sparkContext.defaultParallelism),
+                       n // 256))
+    return (spark.range(n, numPartitions=parts).mapInPandas(
         gen, schema="url string, html binary"))
 
 
@@ -556,7 +568,13 @@ def synthesize_videos(spark, n: int, n_frames: int = 6, height: int = 8,
                 urls.append(f"video://corpus/{i:08d}")
             yield pd.DataFrame({"url": urls, "html": blobs})
 
-    return (spark.range(n).mapInPandas(
+    # few rows per clip corpus: size partitions to the data, not the
+    # cluster (a 32-slot session would spin 32 Python workers for 2k
+    # rows); output is a pure function of id, so the count is free to
+    # vary without changing results
+    parts = max(1, min(int(spark.sparkContext.defaultParallelism),
+                       n // 256))
+    return (spark.range(n, numPartitions=parts).mapInPandas(
         gen, schema="url string, html binary"))
 
 
