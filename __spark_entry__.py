@@ -631,6 +631,17 @@ def _q_range_signup_purchase(spark, sf_dir):
                      .alias("delay_sec")))
 
 
+def _q_time_rollup(spark, sf_dir):
+    # hypertable-style hierarchical rollup: the hour level aggregates
+    # the raw table ONCE; day and month re-aggregate the hour output
+    # (operators/rollup.py). Oracle: UNION ALL of per-level group-bys.
+    from validatelite_spark.operators.rollup import time_rollup
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    return time_rollup(ev, "ts", "value",
+                       granularities=("hour", "day", "month"))
+
+
 def _q_dedup_groups(spark, sf_dir):
     # connected components over the (oracled) exact-jaccard near-dup
     # pairs: (doc_id, group_id=min id in component) — the dedup-cluster
@@ -722,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "asof_purchase_click": _q_asof_purchase_click,
         "range_signup_purchase": _q_range_signup_purchase,
+        "time_rollup_events": _q_time_rollup,
     }
 
 
@@ -826,6 +838,27 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = s.user_id
              AND epoch(p.ts) >= epoch(s.ts)
              AND epoch(p.ts) < epoch(s.ts) + 2 * 86400""",
+        "time_rollup_events": """
+            WITH lv AS (
+              SELECT 'hour' AS gran, date_trunc('hour', ts) AS bucket,
+                     count(*) AS n, sum(value) AS s,
+                     min(value) AS mn, max(value) AS mx
+              FROM events GROUP BY 2
+              UNION ALL
+              SELECT 'day', date_trunc('day', ts), count(*), sum(value),
+                     min(value), max(value)
+              FROM events GROUP BY 2
+              UNION ALL
+              SELECT 'month', date_trunc('month', ts), count(*),
+                     sum(value), min(value), max(value)
+              FROM events GROUP BY 2
+            )
+            SELECT gran,
+                   strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+                   round(s + 1e-9, 4) AS sum_value,
+                   round(mn + 1e-9, 4) AS min_value,
+                   round(mx + 1e-9, 4) AS max_value
+            FROM lv""",
         "bpe_token_stats": f"""
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}')))
