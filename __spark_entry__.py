@@ -642,6 +642,28 @@ def _q_time_rollup(spark, sf_dir):
                        granularities=("hour", "day", "month"))
 
 
+def _q_hash_sample(spark, sf_dir):
+    # deterministic md5-keyed sampling (reproducible at any cluster
+    # size; df.sample is not) — oracle verifies the EXACT row set
+    from validatelite_spark.operators.sampling import hash_sample
+    docs = _read(spark, sf_dir, "documents")
+    return (hash_sample(docs, 0.25, "doc_id", seed=7)
+            .select("doc_id", "lang", "n_chars"))
+
+
+def _q_token_budget(spark, sf_dir):
+    # data-mixing primitive: per-lang token budget, docs taken in
+    # deterministic order until the running pre-doc total hits budget
+    from validatelite_spark.operators.sampling import token_budget_filter
+    docs = _read(spark, sf_dir, "documents")
+    kept = token_budget_filter(docs, budget=5000, token_col="n_chars",
+                               by="lang", order_col="n_chars",
+                               key_col="doc_id")
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("tokens")))
+
+
 def _q_dedup_groups(spark, sf_dir):
     # connected components over the (oracled) exact-jaccard near-dup
     # pairs: (doc_id, group_id=min id in component) — the dedup-cluster
@@ -734,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "range_signup_purchase": _q_range_signup_purchase,
         "time_rollup_events": _q_time_rollup,
+        "hash_sample": _q_hash_sample,
+        "token_budget": _q_token_budget,
     }
 
 
@@ -859,6 +883,22 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + 1e-9, 4) AS min_value,
                    round(mx + 1e-9, 4) AS max_value
             FROM lv""",
+        "hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                       1, 8)) AS BIGINT) % 1000000
+                  < 250000""",
+        "token_budget": """
+            WITH running AS (
+              SELECT lang, n_chars,
+                     sum(n_chars) OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n_chars AS pre
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS tokens
+            FROM running WHERE pre < 5000 GROUP BY lang""",
         "bpe_token_stats": f"""
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}')))

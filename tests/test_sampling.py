@@ -1,0 +1,62 @@
+"""Deterministic sampling + token-budget selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from validatelite_spark.operators.sampling import (hash_sample,
+                                                   token_budget_filter)
+
+
+class TestHashSample:
+    def test_deterministic_and_partition_invariant(self, spark):
+        df = spark.range(4000).withColumnRenamed("id", "k")
+        a = sorted(r["k"] for r in hash_sample(df, 0.3, "k").collect())
+        b = sorted(r["k"] for r in
+                   hash_sample(df.repartition(13), 0.3, "k").collect())
+        assert a == b
+        # rate is close to the fraction (md5 is uniform)
+        assert 0.25 < len(a) / 4000 < 0.35
+        # different seed → different (but equally stable) sample
+        c = sorted(r["k"] for r in
+                   hash_sample(df, 0.3, "k", seed=99).collect())
+        assert c != a
+
+    def test_key_atomicity_and_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+        kept = hash_sample(df, 0.5, "k").collect()
+        by_key = {r["k"] for r in kept}
+        # duplicated key 1 is kept or dropped atomically
+        assert sum(1 for r in kept if r["k"] == 1) in (0, 2)
+        assert by_key <= {1, 2}
+        assert hash_sample(df, 0.0, "k").count() == 0
+        assert hash_sample(df, 1.0, "k").count() == 3
+        with pytest.raises(ValueError):
+            hash_sample(df, 1.5, "k")
+
+
+class TestTokenBudget:
+    def test_budget_cut_is_inclusive_and_per_group(self, spark):
+        rows = [("en", i, 100) for i in range(10)]          # 1000 total
+        rows += [("de", 100, 9999)]                          # one huge doc
+        df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
+        kept = token_budget_filter(df, budget=450, token_col="n",
+                                   by="lang", order_col="n",
+                                   key_col="doc_id").collect()
+        en = [r for r in kept if r["lang"] == "en"]
+        # 4 docs reach 400 < 450; the 5th starts under budget → kept
+        assert len(en) == 5
+        # a group whose first doc exceeds the budget still keeps it
+        assert sum(1 for r in kept if r["lang"] == "de") == 1
+
+    def test_partition_invariance(self, spark):
+        df = spark.createDataFrame(
+            [("g%d" % (i % 4), i, (i * 37) % 200 + 1) for i in range(400)],
+            "g string, doc_id long, n long")
+        a = sorted((r["g"], r["doc_id"]) for r in token_budget_filter(
+            df, 800, "n", "g", key_col="doc_id").collect())
+        b = sorted((r["g"], r["doc_id"]) for r in token_budget_filter(
+            df.repartition(11), 800, "n", "g", key_col="doc_id").collect())
+        assert a == b

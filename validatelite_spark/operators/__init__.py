@@ -15,6 +15,10 @@ from validatelite_spark.operators.multimodal import (
     frame_sample,
 )
 from validatelite_spark.operators.rollup import time_rollup
+from validatelite_spark.operators.sampling import (
+    hash_sample,
+    token_budget_filter,
+)
 from validatelite_spark.operators.similarity import (
     brute_force_topk,
     embedding_cosine_pairs,
@@ -32,6 +36,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "exact_dedup",
     "frame_sample",
+    "hash_sample",
     "ivf_topk",
     "keep_representatives",
     "kmeans_centroids",
@@ -41,4 +46,5 @@ __all__ = [
     "range_join",
     "simhash_pairs",
     "time_rollup",
+    "token_budget_filter",
 ]
