@@ -642,6 +642,18 @@ def _q_time_rollup(spark, sf_dir):
                        granularities=("hour", "day", "month"))
 
 
+def _q_quality_quantiles(spark, sf_dir):
+    # exact interpolated percentiles of doc length per lang (JVM-side
+    # percentile(), not approx_percentile — matches quantile_cont)
+    docs = _read(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9),
+                                          F.lit(0.99)))
+    return (docs.groupBy("lang")
+            .agg(F.round(F.element_at(pct, 1) + 1e-9, 4).alias("p50"),
+                 F.round(F.element_at(pct, 2) + 1e-9, 4).alias("p90"),
+                 F.round(F.element_at(pct, 3) + 1e-9, 4).alias("p99")))
+
+
 def _q_hash_sample(spark, sf_dir):
     # deterministic md5-keyed sampling (reproducible at any cluster
     # size; df.sample is not) — oracle verifies the EXACT row set
@@ -758,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": _q_time_rollup,
         "hash_sample": _q_hash_sample,
         "token_budget": _q_token_budget,
+        "quality_quantiles": _q_quality_quantiles,
     }
 
 
@@ -899,6 +912,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS tokens
             FROM running WHERE pre < 5000 GROUP BY lang""",
+        "quality_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99) + 1e-9, 4) AS p99
+            FROM documents GROUP BY lang""",
         "bpe_token_stats": f"""
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}')))
