@@ -101,14 +101,19 @@ def main() -> None:
     # pipeline throughput: docs scaled to SF (sf0.1 → 100k pages)
     n_docs = max(int(sf * 1_000_000), 10_000)
     pipe = QualityPipeline(spark)
+    # each task slot runs a JVM thread + a Python UDF worker (2 hot
+    # threads) — cpus//2 concurrent tasks saturate the box without
+    # oversubscribing it (BENCH.md rule 5; measured 2x faster than
+    # cpus*2 partitions at cpus=32 AND draws less hypervisor steal)
+    pipe_parts = max(cpus // 2, 4)
     pipe.run(synthesize_pages(spark, max(n_docs // 10, 1000),
-                              partitions=cpus * 2))  # codegen/JIT warmup
-    # best-of-2: the host has bursty CPU steal (BENCH.md); one bad
+                              partitions=pipe_parts))  # codegen/JIT warmup
+    # best-of-3: the host has bursty CPU steal (BENCH.md); one bad
     # window would otherwise dominate the recorded per-round number
     pipe_sec = None
     pipe_steal = None
-    for _ in range(2):
-        pages = synthesize_pages(spark, n_docs, partitions=cpus * 2)
+    for _ in range(3):
+        pages = synthesize_pages(spark, n_docs, partitions=pipe_parts)
         t0, s0 = time.time(), _steal_ticks()
         _, results = pipe.run(pages)  # one fused scan incl. UDF stages
         el = round(time.time() - t0, 3)
