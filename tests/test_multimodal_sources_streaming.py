@@ -215,6 +215,30 @@ class TestSources:
 
 
 class TestStreaming:
+    def test_streaming_media_decode(self, spark, tmp_path):
+        """decode_media is a mapInPandas projection, so the same code
+        runs unchanged on a stream — batch and streaming results match
+        row-for-row."""
+        src = str(tmp_path / "media_src")
+        imgs = multimodal.synthesize_images(spark, 80)
+        imgs.write.parquet(src)
+        stream = spark.readStream.schema(imgs.schema).parquet(src)
+        q = (multimodal.decode_media(stream, "html", "url",
+                                     decoder="image")
+             .writeStream.outputMode("append")
+             .format("memory").queryName("media_feats").start())
+        try:
+            q.processAllAvailable()
+            got = sorted(map(tuple,
+                             spark.sql("select * from media_feats")
+                             .collect()))
+        finally:
+            q.stop()
+        want = sorted(map(tuple, multimodal.decode_media(
+            spark.read.parquet(src), "html", "url",
+            decoder="image").collect()))
+        assert got == want and len(got) == 80
+
     def test_windowed_keep_metrics_memory_sink(self, spark, tmp_path):
         # batch-write pages then replay them as a file stream
         src = str(tmp_path / "stream_src")

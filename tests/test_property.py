@@ -125,3 +125,60 @@ class TestPerplexityProperties:
     @given(st.one_of(st.none(), st.just(""), st.just("x")))
     def test_degenerate_docs_score_max(self, t):
         assert perplexity_series(pd.Series([t], dtype="object"))[0] == MAX_PPL
+
+
+class TestCodecProperties:
+    """Round-trip laws for the pure-numpy media codecs — encode then
+    decode recovers the array exactly, for arbitrary shapes/content."""
+
+    @given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_ppm_roundtrip(self, h, w, seed):
+        import numpy as np
+        from validatelite_spark.operators import multimodal as mm
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(img)), img)
+        assert np.array_equal(mm.decode_pnm(mm.encode_ppm(img)), img)
+
+    @given(st.integers(1, 400), st.integers(1, 3),
+           st.sampled_from([8000, 16000, 44100]),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_wav_roundtrip_quantized(self, n, ch, rate, seed):
+        import numpy as np
+        from validatelite_spark.operators import multimodal as mm
+        s = np.random.default_rng(seed).uniform(-0.99, 0.99, size=(n, ch))
+        dec, got_rate = mm.decode_wav(mm.encode_wav(s, rate))
+        assert got_rate == rate and dec.shape == (n, ch)
+        assert np.max(np.abs(dec - s)) < 1 / 32768 + 1e-12  # 16-bit LSB
+
+    @given(st.integers(1, 5), st.integers(2, 10), st.integers(2, 10),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_y4m_roundtrip(self, n, h, w, seed):
+        import numpy as np
+        from validatelite_spark.operators import multimodal as mm
+        frames = np.random.default_rng(seed).integers(
+            0, 256, size=(n, h, w), dtype=np.uint8)
+        dec, fps = mm.decode_y4m(mm.encode_y4m(frames, 25))
+        assert fps == 25.0 and np.array_equal(dec, frames)
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_decoders_never_raise_on_junk(self, blob):
+        from validatelite_spark.operators import multimodal as mm
+        for fn in (mm.decode_bmp, mm.decode_pnm, mm.decode_wav,
+                   mm.decode_y4m):
+            fn(blob)  # None or a value — never an exception
+
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 8),
+           st.integers(1, 8))
+    @settings(max_examples=60, deadline=None)
+    def test_resize_shape_and_membership(self, h, w, oh, ow):
+        import numpy as np
+        from validatelite_spark.operators.multimodal import resize_nearest
+        arr = np.arange(h * w).reshape(h, w)
+        out = resize_nearest(arr, oh, ow)
+        assert out.shape == (oh, ow)
+        assert np.isin(out, arr).all()  # nearest-neighbor: no new values
