@@ -30,7 +30,9 @@ both deterministic (min-key representative, sorted pair ids).
 from __future__ import annotations
 
 import logging
+import re as _re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,12 +94,51 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)  # = Java/RE2 \s on this data
+
+
+def shingles_arrow(n: int = 3):
+    """Arrow-batched shingle UDF — same values as ``shingles`` (word
+    n-grams of lowercased ASCII-whitespace tokens, distinct, first-
+    occurrence order) but built in tight Python per batch instead of a
+    CodegenFallback higher-order-function chain interpreted per row
+    (BENCH.md lesson 2: transform/slice/concat_ws don't codegen)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = [x for x in _WS_ASCII.split(t.lower()) if x]
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(list(dict.fromkeys(
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1))))
+        return pd.Series(out)
+
+    return sh
+
+
 def _shingle_table(df: DataFrame, text_col: str, key_col: str,
-                   n: int) -> DataFrame:
-    """(key, shingle_set, set_size) for docs with at least one shingle."""
+                   n: int, arrow: bool = True) -> DataFrame:
+    """(key, shingle_set, set_size) for docs with at least one shingle.
+    ``arrow=True`` uses the batched UDF (hot path); False keeps the
+    pure-Column expression (no-Python contexts)."""
+    sh = (shingles_arrow(n)(F.col(text_col)) if arrow
+          else shingles(F.col(text_col), n))
+    # a small parquet loads as one input split → the (expensive)
+    # shingling projection runs single-threaded; spread it when the
+    # source is under-parallel (downstream aggs shuffle regardless)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par // 2:
+        df = df.repartition(par)
     return (
-        df.select(F.col(key_col).alias("k"),
-                  shingles(F.col(text_col), n).alias("sh"))
+        df.select(F.col(key_col).alias("k"), sh.alias("sh"))
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
     )
