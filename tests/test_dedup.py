@@ -231,3 +231,24 @@ class TestSimilarity:
         # identical vectors always share a bucket; perturbed ones may not
         assert (0, 24) in lsh_pairs
         assert lsh_pairs <= pairs  # LSH never invents pairs
+
+
+class TestSignatureParity:
+    def test_column_and_arrow_signatures_agree(self, spark, sf_dir):
+        """The pure-Column signature expression and the Arrow-matmul UDF
+        are independent implementations of the same math — they must
+        produce identical table signatures on real embeddings."""
+        from pyspark.sql import functions as F
+        from validatelite_spark.operators.similarity import (
+            _hyperplanes, _table_signatures, _table_signatures_pandas)
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .withColumn("embedding",
+                           F.col("embedding").cast("array<double>")))
+        tables = [_hyperplanes(64, 8, 42 + 7919 * t) for t in range(4)]
+        both = emb.select(
+            "vec_id",
+            _table_signatures(F.col("embedding"), tables).alias("col_sig"),
+            _table_signatures_pandas(tables)(F.col("embedding"))
+            .alias("arrow_sig"))
+        bad = both.filter(F.col("col_sig") != F.col("arrow_sig")).count()
+        assert bad == 0
