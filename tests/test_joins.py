@@ -80,3 +80,18 @@ class TestRangeJoin:
                       if p % 3 == i % 3 and i <= p < i + 5)
         got = sorted((r["pid"], r["right_iid"]) for r in j.collect())
         assert got == want
+
+
+class TestAsofPlanShape:
+    def test_single_shuffle_on_key(self, spark):
+        """The merge-asof composition must shuffle ONCE (on the key for
+        the window) — no join-based plan, no extra exchanges."""
+        left = _df(spark, [(i, i % 5, float(i)) for i in range(50)],
+                   "lid long, k long, ts double")
+        right = _df(spark, [(900 + i, i % 5, float(i) + 0.3)
+                            for i in range(50)],
+                    "rid long, k long, ts double")
+        plan = (asof_join(left, right, by="k")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan  # window carry-forward, not a join
