@@ -320,12 +320,8 @@ def kmeans_centroids(
     Empty buckets keep their previous centroid."""
     cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
     for _ in range(iters):
-        def scores(vec: Column, _c=cents) -> Column:
-            return F.array(*[_dot_lit(vec, c) for c in _c])
         assigned = corpus.select(
-            (F.array_position(scores(F.col(vec_col)),
-                              F.array_max(scores(F.col(vec_col)))) - 1)
-            .cast("int").alias("bucket"),
+            _bucket_udf(cents)(F.col(vec_col)).alias("bucket"),
             F.posexplode(F.col(vec_col).cast("array<double>"))
             .alias("dim", "val"))
         means = (assigned.groupBy("bucket", "dim")
@@ -337,8 +333,38 @@ def kmeans_centroids(
     return cents
 
 
-def _dot_lit(vec: Column, plane: list[float]) -> Column:
-    return _dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+def _bucket_udf(cents: list[list[float]]):
+    """argmax-dot centroid id per vector — ONE matmul per Arrow batch
+    (the production assign step the ivf_topk docstring promises; a
+    k*dim literal-array Column chain is CodegenFallback and interpreted
+    per row). np.argmax picks the FIRST index of a tied max, matching
+    array_position(array_max) semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(cents, dtype=np.float64).T  # (dim, k)
+
+    @pandas_udf("int")
+    def bucket(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series((m @ mat).argmax(axis=1).astype("int32"))
+
+    return bucket
+
+
+def _probe_udf(cents: list[list[float]], n_probe: int):
+    """Top-``n_probe`` centroid ids per query vector by dot score —
+    one matmul + argsort per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(cents, dtype=np.float64).T
+
+    @pandas_udf("array<int>")
+    def probes(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        idx = np.argsort(-(m @ mat), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.tolist() for row in idx.astype("int32")])
+
+    return probes
 
 
 def ivf_topk(
@@ -377,30 +403,17 @@ def ivf_topk(
     n_centroids = len(cents)
     n_probe = min(n_probe, n_centroids)
 
-    def scores(vec: Column) -> Column:
-        return F.array(*[_dot_lit(vec, c) for c in cents])
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        # argmax bucket: position of the max score (1-based → 0-based)
-        (F.array_position(scores(F.col(vec_col)),
-                          F.array_max(scores(F.col(vec_col)))) - 1)
-        .cast("int").alias("bucket"))
+        _bucket_udf(cents)(F.col(vec_col)).alias("bucket"))
 
-    # queries: top n_probe buckets by centroid score
-    idxs = F.sequence(F.lit(0), F.lit(n_centroids - 1))
-    probe_list = F.slice(
-        F.reverse(F.array_sort(F.arrays_zip(
-            scores(F.col(vec_col)).alias("s"), idxs.alias("i")))),
-        1, n_probe)
+    # queries: top n_probe buckets by centroid score (Arrow matmul)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-        F.explode(F.transform(probe_list, lambda p: p["i"]))
-        .alias("bucket_raw"))
-    q = q.withColumn("bucket", F.col("bucket_raw").cast("int")) \
-         .drop("bucket_raw")
+        F.explode(_probe_udf(cents, n_probe)(F.col(vec_col)))
+        .alias("bucket"))
 
     scored = (
         c.join(F.broadcast(q), "bucket")
