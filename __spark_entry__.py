@@ -334,6 +334,25 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(df, "text", "doc_id", max_distance=3)
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 A1.1): per-doc
+    duplicate-trigram fraction + top-trigram share."""
+    from validatelite_spark.operators.repetition import repetition_signals
+    df = _read(spark, sf_dir, "documents")
+    return repetition_signals(df, "text", "doc_id", n=3)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Train/test decontamination: docs sharing any 4-gram with a
+    deterministic held-out 'benchmark' sixteenth of the corpus
+    (md5(doc_id) first hex digit = '0' — reproducible in DuckDB)."""
+    from validatelite_spark.operators.repetition import contaminated_docs
+    df = _read(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return contaminated_docs(
+        df.filter(~is_bench), df.filter(is_bench), "text", "doc_id", n=4)
+
+
 # --------------------------------------------------- similarity queries
 
 def _emb_double(spark, sf_dir):
@@ -746,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
+        "repetition_signals": _q_repetition,
+        "decontaminate": _q_decontaminate,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -857,6 +878,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT min(doc_id) FROM documents WHERE text IS NOT NULL
               GROUP BY {_d_fingerprint(t)})""",
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "repetition_signals": """
+WITH t AS (
+  SELECT doc_id, list_transform(range(1, len({toks}) - 1),
+         i -> array_to_string({toks}[i:i+2], ' ')) AS ngs
+  FROM documents WHERE len({toks}) >= 3
+), ex AS (
+  SELECT doc_id, unnest(ngs) AS s FROM t
+), per AS (
+  SELECT doc_id, s, count(*) AS c FROM ex GROUP BY 1, 2
+)
+SELECT doc_id,
+       round(1.0 - count(*) * 1.0 / sum(c) + 1e-9, 6) AS dup_ngram_frac,
+       round(max(c) * 1.0 / sum(c) + 1e-9, 6) AS top_ngram_frac,
+       cast(sum(c) AS bigint) AS n_ngrams
+FROM per GROUP BY doc_id
+""".replace("{toks}", _d_tokens("text")),
+        "decontaminate": """
+WITH t AS (
+  SELECT doc_id,
+         substr(md5(cast(doc_id AS varchar)), 1, 1) = '0' AS is_bench,
+         list_distinct(list_transform(range(1, len({toks}) - 2),
+             i -> array_to_string({toks}[i:i+3], ' '))) AS sh
+  FROM documents WHERE len({toks}) >= 4
+), sized AS (
+  SELECT doc_id, is_bench, sh, len(sh) AS sz FROM t
+), ex AS (
+  SELECT doc_id, is_bench, sz, unnest(sh) AS s FROM sized
+), bench AS (
+  SELECT DISTINCT s FROM ex WHERE is_bench
+)
+SELECT e.doc_id, count(*) AS hit_ngrams,
+       round(count(*) * 1.0 / any_value(e.sz) + 1e-9, 6) AS overlap_frac
+FROM ex e JOIN bench b USING (s)
+WHERE NOT e.is_bench
+GROUP BY e.doc_id
+HAVING count(*) >= 1
+""".replace("{toks}", _d_tokens("text")),
         "minhash_lsh_pairs": _JACCARD_ORACLE,  # LSH+verify ≡ exhaustive
         "dedup_groups": _CC_ORACLE.format(jaccard=_JACCARD_ORACLE),
         "asof_purchase_click": """

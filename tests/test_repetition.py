@@ -1,0 +1,67 @@
+"""Repetition signals + benchmark decontamination.
+
+No reference counterpart (the reference's closest surface is rule-metric
+aggregation, core/engine/rule_engine.py); semantics follow the public
+Gopher repetition heuristics (Rae et al. 2021 A1.1) and the GPT-3
+appendix-C n-gram decontamination rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from validatelite_spark.operators.repetition import (
+    contaminated_docs,
+    ngrams_all,
+    ngrams_all_arrow,
+    repetition_signals,
+)
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),        # trigrams: aba bab aba bab
+         (2, "one two three four"), # all distinct
+         (3, "x y")],               # < 3 tokens → no row
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in repetition_signals(df, n=3).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_ngrams == 4
+    assert rows[1].dup_ngram_frac == 0.5
+    assert rows[1].top_ngram_frac == 0.5
+    assert rows[2].dup_ngram_frac == 0.0
+    assert rows[2].top_ngram_frac == 0.5  # 1/2 occurrences
+
+
+def test_ngrams_all_column_vs_arrow_parity(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    a = df.select("doc_id", ngrams_all(F.col("text"), 3).alias("ng"))
+    b = df.select("doc_id", ngrams_all_arrow(3)(F.col("text")).alias("ng"))
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_contaminated_docs_plants_hit(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "x beta gamma delta epsilon y"),  # shares one 4-gram
+         (2, "totally unrelated clean words here")],
+        ["doc_id", "text"])
+    out = contaminated_docs(docs, bench, n=4).collect()
+    assert len(out) == 1
+    (hit,) = out
+    assert hit.doc_id == 1 and hit.hit_ngrams == 1
+    assert hit.overlap_frac == round(1 / 3 + 1e-9, 6)
+
+
+def test_contaminated_docs_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set must be broadcast — the corpus side is
+    the 100 TB side and must not shuffle its exploded n-grams."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_bench = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    plan = (contaminated_docs(df.filter(~is_bench), df.filter(is_bench),
+                              n=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

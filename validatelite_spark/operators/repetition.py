@@ -1,0 +1,155 @@
+"""Within-document repetition signals and benchmark decontamination.
+
+Two training-data-pipeline operators the reference has no analogue for
+(its closest surface is the rule-metric aggregates, core/engine/
+rule_engine.py) but that any 100 TB web-text curation run needs:
+
+* ``repetition_signals`` — Gopher's repetition section (Rae et al. 2021,
+  appendix A1.1): per-document duplicate-n-gram fraction and
+  most-frequent-n-gram share.  Boilerplate/spam pages repeat the same
+  phrases; ``distinct_token_ratio`` (textquality.py) only sees unigram
+  reuse, these see phrase reuse.
+* ``contaminated_docs`` — train/test decontamination by word-n-gram
+  overlap against a benchmark corpus (the GPT-3 appendix-C /
+  Llama-style 8-gram rule, parameterised n).
+
+Scale shape (100 TB):
+
+* repetition: one shuffle keyed by (doc_id, ngram).  Keys are
+  document-local, so the hottest key is bounded by the longest document
+  — no global hot key, and partial aggregation collapses repeats
+  map-side before the exchange.
+* decontamination: benchmark n-gram sets are MBs (eval suites), the
+  corpus is the 100 TB side — so the benchmark set is broadcast and the
+  corpus-side exploded n-grams join map-side without ever shuffling.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from validatelite_spark.functions.textquality import tokens
+from validatelite_spark.operators.dedup import _shingle_table
+
+
+def ngrams_all(col: Column, n: int = 3) -> Column:
+    """ALL word n-gram occurrences (lowercased, whitespace-tokenized),
+    duplicates preserved — unlike ``dedup.shingles`` which is a distinct
+    set.  Docs with < n tokens produce an empty array."""
+    toks = tokens(col)
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def ngrams_all_arrow(n: int = 3):
+    """Arrow-batched variant of ``ngrams_all`` — same values, built in
+    tight Python per batch instead of a CodegenFallback HOF chain
+    (BENCH.md lesson 2).  Default path for the DataFrame operators."""
+    from pyspark.sql.functions import pandas_udf
+
+    from validatelite_spark.operators.dedup import _WS_ASCII
+
+    @pandas_udf("array<string>")
+    def ng(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = [x for x in _WS_ASCII.split(t.lower()) if x]
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append([" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)])
+        return pd.Series(out)
+
+    return ng
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    arrow: bool = True,
+) -> DataFrame:
+    """Per-document n-gram repetition metrics:
+
+    * ``dup_ngram_frac``  — fraction of n-gram occurrences that repeat an
+      earlier occurrence (1 − distinct/total),
+    * ``top_ngram_frac``  — share of occurrences held by the single most
+      frequent n-gram,
+    * ``n_ngrams``        — total n-gram occurrences.
+
+    Documents with fewer than ``n`` tokens are omitted (no n-grams).
+    Two-level aggregation: count per (doc, ngram), then roll up per doc —
+    both partial-agg map-side; see module docstring for the scale story.
+    """
+    ng = (ngrams_all_arrow(n)(F.col(text_col)) if arrow
+          else ngrams_all(F.col(text_col), n))
+    ex = df.select(F.col(id_col), F.explode(ng).alias("s"))
+    per = ex.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy(id_col)
+        .agg(F.sum("c").alias("total"),
+             F.count(F.lit(1)).alias("nd"),
+             F.max("c").alias("top"))
+        .select(
+            F.col(id_col),
+            F.round(F.lit(1.0) - F.col("nd") / F.col("total")
+                    + F.lit(1e-9), 6).alias("dup_ngram_frac"),
+            F.round(F.col("top") / F.col("total")
+                    + F.lit(1e-9), 6).alias("top_ngram_frac"),
+            F.col("total").alias("n_ngrams"),
+        )
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    bench_text_col: str | None = None,
+    arrow: bool = True,
+) -> DataFrame:
+    """Documents sharing ≥ ``min_hits`` distinct word n-grams with a
+    benchmark corpus → ``(doc_id, hit_ngrams, overlap_frac)`` where
+    ``overlap_frac`` is the share of the doc's distinct n-grams found in
+    the benchmark.
+
+    The benchmark's distinct n-gram set is broadcast (eval suites are
+    MBs; the corpus is the big side), so the corpus scan joins map-side
+    and never shuffles its n-grams — only the per-doc hit counts move.
+    """
+    bcol = bench_text_col or text_col
+    b_sh = (
+        _shingle_table(benchmark, bcol, id_col, n, arrow=arrow)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    d_tab = _shingle_table(docs, text_col, id_col, n, arrow=arrow)
+    ex = d_tab.select("k", "sz", F.explode("sh").alias("s"))
+    return (
+        ex.join(F.broadcast(b_sh), "s")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("hit_ngrams"),
+             F.first("sz").alias("sz"))
+        .filter(F.col("hit_ngrams") >= min_hits)
+        .select(
+            F.col("k").alias(id_col),
+            F.col("hit_ngrams"),
+            F.round(F.col("hit_ngrams") / F.col("sz")
+                    + F.lit(1e-9), 6).alias("overlap_frac"),
+        )
+    )
