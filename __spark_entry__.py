@@ -342,6 +342,21 @@ def _q_repetition(spark, sf_dir):
     return repetition_signals(df, "text", "doc_id", n=3)
 
 
+def _q_repetition_rule(spark, sf_dir):
+    """REPETITION as an ENGINE rule: a registered-only type (no enum
+    member, core/builtin_rule_types.py) compiled through the registry
+    dispatch into the standard metrics aggregate."""
+    from validatelite_spark.core.rules import Rule
+    from validatelite_spark.plans.compiler import compile_rule
+    df = _read(spark, sf_dir, "documents")
+    fail = compile_rule(
+        Rule("REPETITION", "text", {"n": 3, "max_dup_ngram_frac": 0.2})
+    ).fail_predicate
+    return df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.when(fail, 1).otherwise(0)).alias("failed_records"))
+
+
 def _q_decontaminate(spark, sf_dir):
     """Train/test decontamination: docs sharing any 4-gram with a
     deterministic held-out 'benchmark' sixteenth of the corpus
@@ -766,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
         "repetition_signals": _q_repetition,
+        "repetition_rule": _q_repetition_rule,
         "decontaminate": _q_decontaminate,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
@@ -893,6 +909,20 @@ SELECT doc_id,
        round(max(c) * 1.0 / sum(c) + 1e-9, 6) AS top_ngram_frac,
        cast(sum(c) AS bigint) AS n_ngrams
 FROM per GROUP BY doc_id
+""".replace("{toks}", _d_tokens("text")),
+        "repetition_rule": """
+WITH t AS (
+  SELECT text,
+         list_transform(range(1, len({toks}) - 1),
+             i -> array_to_string({toks}[i:i+2], ' ')) AS ngs
+  FROM documents
+)
+SELECT count(*) AS total_records,
+       cast(count(*) FILTER (WHERE text IS NULL OR
+            (CASE WHEN len(ngs) > 0
+                  THEN 1.0 - len(list_distinct(ngs)) * 1.0 / len(ngs)
+                  ELSE 0.0 END) > 0.2) AS bigint) AS failed_records
+FROM t
 """.replace("{toks}", _d_tokens("text")),
         "decontaminate": """
 WITH t AS (

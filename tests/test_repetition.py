@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from validatelite_spark.operators.repetition import (
     contaminated_docs,
+    dup_ngram_fraction,
+    dup_ngram_fraction_arrow,
     ngrams_all,
     ngrams_all_arrow,
     repetition_signals,
@@ -52,6 +54,34 @@ def test_contaminated_docs_plants_hit(spark):
     (hit,) = out
     assert hit.doc_id == 1 and hit.hit_ngrams == 1
     assert hit.overlap_frac == round(1 / 3 + 1e-9, 6)
+
+
+def test_dup_fraction_column_vs_arrow_parity(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    rows = df.select(
+        dup_ngram_fraction(F.col("text"), 3).alias("a"),
+        dup_ngram_fraction_arrow(3)(F.col("text")).alias("b")).collect()
+    assert rows and all(r.a == r.b for r in rows)
+
+
+def test_repetition_rule_through_engine(spark):
+    """REPETITION is registered-only (no RuleType member) and must flow
+    through Rule validation → registry dispatch → merged agg, with
+    NULL-text counted as failed (completeness semantics)."""
+    from validatelite_spark.core.rules import Rule
+    from validatelite_spark.operators.engine import RuleEngine
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),   # dup trigram frac 3/4
+         (2, "all words here are different ok"),
+         (3, None)],
+        ["doc_id", "text"])
+    (res,) = RuleEngine(spark).execute(
+        df, [Rule("REPETITION", "text",
+                  {"n": 3, "max_dup_ngram_frac": 0.2})])
+    assert res.status.value == "FAILED"
+    assert (res.total_records, res.failed_records) == (3, 2)
+    assert res.execution_plan["execution_type"] == "merged_agg"
 
 
 def test_contaminated_docs_broadcasts_benchmark(spark, sf_dir):

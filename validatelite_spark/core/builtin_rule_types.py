@@ -44,6 +44,14 @@ def _compile_pii_scrub(rule):
     return pii_fail(F.col(rule.column))
 
 
+def _compile_repetition(rule):
+    # Deliberately NOT a RuleType enum member: REPETITION exists only
+    # through this registration, proving registered-only types are
+    # first-class across Rule validation, the compiler, and the merger.
+    from validatelite_spark.operators.repetition import repetition_fail
+    return repetition_fail(F.col(rule.column), rule.parameters)
+
+
 def _ppl_params(params: dict) -> None:
     if params.get("max_ppl") is None and params.get("min_ppl") is None:
         raise ValueError("PERPLEXITY needs min_ppl and/or max_ppl")
@@ -67,6 +75,11 @@ def register_builtins(replace: bool = True) -> None:
     register_rule_type(
         "PII_SCRUB", _compile_pii_scrub, tier="UDF",
         description="document contains a PII/toxicity pattern",
+        replace=replace)
+    register_rule_type(
+        "REPETITION", _compile_repetition, tier="UDF",
+        description=("duplicate-n-gram fraction must not exceed "
+                     "max_dup_ngram_frac (Gopher repetition gate)"),
         replace=replace)
 
 

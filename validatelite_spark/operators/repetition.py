@@ -74,6 +74,72 @@ def ngrams_all_arrow(n: int = 3):
     return ng
 
 
+def dup_ngram_fraction(col: Column, n: int = 3) -> Column:
+    """Pure-Column duplicate-n-gram fraction (1 − distinct/total
+    occurrences); docs with < ``n`` tokens score 0.0, NULL text stays
+    NULL.  The rule-predicate form of ``repetition_signals``'s
+    ``dup_ngram_frac`` — no explode, so it folds into the engine's fused
+    single-scan aggregate.  NOTE: built on transform/slice
+    (CodegenFallback, BENCH.md lesson 2) — fine in a merged metrics
+    scan, but keep it out of per-row hot projections; bulk annotation
+    should go through ``repetition_signals``."""
+    ng = ngrams_all(col, n)
+    t = F.size(ng)
+    return F.when(t <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ng)) / t)
+
+
+def dup_ngram_fraction_arrow(n: int = 3):
+    """Arrow-batched ``dup_ngram_fraction`` — identical values (both
+    sides are IEEE-double ``1 − distinct/total``), built per batch in
+    tight Python.  This is the rule-predicate hot path: the pure-Column
+    version's transform/slice chain is CodegenFallback and re-evaluates
+    the tokenizer per array element (~interpreted O(tokens²) per row) —
+    measured ~40× slower on the metrics scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    from validatelite_spark.operators.dedup import _WS_ASCII
+
+    @pandas_udf("double")
+    def frac(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [x for x in _WS_ASCII.split(t.lower()) if x]
+            total = len(toks) - n + 1
+            if total <= 0:
+                out.append(0.0)
+                continue
+            distinct = len({" ".join(toks[i:i + n])
+                            for i in range(total)})
+            out.append(1.0 - distinct / total)
+        return pd.Series(out)
+
+    return frac
+
+
+#: REPETITION rule defaults (Gopher A1.1 uses per-n thresholds; one
+#: knob here, overridable per rule).
+REPETITION_DEFAULTS = {"n": 3, "max_dup_ngram_frac": 0.2}
+
+
+def repetition_fail(col: Column, params: dict | None = None) -> Column:
+    """REPETITION rule failure predicate: NULL text fails (completeness
+    semantics, like GOPHER/NOT_NULL — see core/rules.py NULL table);
+    otherwise fails when the duplicate-n-gram fraction exceeds
+    ``max_dup_ngram_frac``.  Registered UDF-tier (Arrow predicate, see
+    ``dup_ngram_fraction_arrow``); fuses into the merged single-scan
+    aggregate like every UDF-tier rule."""
+    p = dict(REPETITION_DEFAULTS)
+    if params:
+        p.update({k: v for k, v in params.items() if v is not None})
+    viol = (dup_ngram_fraction_arrow(int(p["n"]))(col)
+            > float(p["max_dup_ngram_frac"]))
+    return F.when(col.isNull(), F.lit(True)).otherwise(viol)
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
