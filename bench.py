@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "asof_purchase_click",
     "range_signup_purchase",
     "multimodal_decode",
+    "repetition_signals",
+    "decontaminate",
 ]
 
 
