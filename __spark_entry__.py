@@ -334,6 +334,17 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(df, "text", "doc_id", max_distance=3)
 
 
+def _q_simhash_md5(spark, sf_dir):
+    """Same SimHash pipeline with the md5-derived 64-bit token hash —
+    bit-for-bit reproducible in DuckDB, so banding + sign-vote signature
+    + hamming verify are all value-hash-checked (the xxhash64 variant
+    above stays the fast production default)."""
+    from validatelite_spark.operators.dedup import simhash_pairs
+    df = _read(spark, sf_dir, "documents")
+    return simhash_pairs(df, "text", "doc_id", max_distance=3,
+                         hash_fn="md5")
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher repetition signals (Rae et al. 2021 A1.1): per-doc
     duplicate-trigram fraction + top-trigram share."""
@@ -780,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
+        "simhash_pairs_md5": _q_simhash_md5,
         "repetition_signals": _q_repetition,
         "repetition_rule": _q_repetition_rule,
         "decontaminate": _q_decontaminate,
@@ -894,6 +906,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT min(doc_id) FROM documents WHERE text IS NOT NULL
               GROUP BY {_d_fingerprint(t)})""",
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "simhash_pairs_md5": """
+WITH ex AS (
+  SELECT doc_id AS k, unnest(list_distinct({toks})) AS t
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT k, cast(CASE WHEN v >= 9223372036854775808::hugeint
+                 THEN v - 18446744073709551616::hugeint ELSE v END
+            AS bigint) AS h64
+  FROM (SELECT k, ('0x'||substr(md5(t),1,8))::bigint::hugeint * 4294967296
+                  + ('0x'||substr(md5(t),9,8))::bigint AS v FROM ex)
+), bits AS (
+  SELECT k, i, sum(CASE WHEN (h64 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, (SELECT unnest(range(64)) AS i)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT k, cast(CASE WHEN u >= 9223372036854775808::hugeint
+                 THEN u - 18446744073709551616::hugeint ELSE u END
+            AS bigint) AS sh
+  FROM (SELECT k, sum(CASE WHEN vote > 0 THEN 1::hugeint << i ELSE 0 END)
+               AS u
+        FROM bits GROUP BY k)
+)
+SELECT a.k AS id1, b.k AS id2,
+       cast(bit_count(xor(a.sh, b.sh)) AS int) AS distance
+FROM sig a JOIN sig b ON a.k < b.k
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""".replace("{toks}", _d_tokens("text")),
         "repetition_signals": """
 WITH t AS (
   SELECT doc_id, list_transform(range(1, len({toks}) - 1),

@@ -143,6 +143,27 @@ class TestSimHash:
              for r in dedup.simhash_table(docs.repartition(7)).collect()}
         assert a == b and len(a) == 7  # NULL doc excluded
 
+    def test_md5_hash_variant(self, spark, docs):
+        """The md5-derived token hash is the engine-portable variant the
+        DuckDB oracle replays bit-for-bit; pin one value against the
+        independently-computed Python md5 so neither engine drifts."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+        h = int(hashlib.md5(b"spark").hexdigest()[:16], 16)
+        expect = h - (1 << 64) if h >= 1 << 63 else h
+        hi = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
+        (got,) = (spark.createDataFrame([("spark",)], ["t"])
+                  .select(F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
+                  .collect())
+        assert got.h == expect
+        # exact duplicates still collapse to distance 0 under md5 votes
+        pairs = {(r["id1"], r["id2"]): r["distance"]
+                 for r in dedup.simhash_pairs(
+                     docs, max_distance=3, hash_fn="md5").collect()}
+        assert pairs.get((0, 1)) == 0
+
 
 @pytest.fixture(scope="module")
 def vectors(spark):

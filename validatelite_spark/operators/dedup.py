@@ -308,9 +308,15 @@ def minhash_lsh_pairs(
 
 # ---------------------------------------------------------------- simhash
 def simhash_table(df: DataFrame, text_col: str = "text",
-                  key_col: str = "doc_id", bits: int = 64) -> DataFrame:
+                  key_col: str = "doc_id", bits: int = 64,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """(k, sh): 64-bit SimHash per doc — per-bit sign of the sum of ±1
-    votes from each distinct token's xxhash64 bit.
+    votes from each distinct token's hash bit.
+
+    ``hash_fn``: "xxhash64" (default — fastest, JVM-native) or "md5"
+    (64 bits from the first 16 hex chars of md5(token) — bit-for-bit
+    reproducible in any engine with md5, which is how the DuckDB oracle
+    verifies the whole SimHash pipeline end-to-end).
 
     Physical shape: one explode + one groupBy with 64 SUM aggregates
     (map-side partial aggregation), then a driver-free fold of the sign
@@ -321,7 +327,14 @@ def simhash_table(df: DataFrame, text_col: str = "text",
                 F.explode(F.array_distinct(tokens(F.col(text_col))))
                 .alias("t"))
     )
-    h = F.xxhash64(F.col("t"))
+    if hash_fn == "md5":
+        hi = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("t"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     aggs = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
                      1).otherwise(-1)).alias(f"b{i}")
@@ -346,6 +359,7 @@ def simhash_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     max_distance: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_distance.
 
@@ -358,7 +372,7 @@ def simhash_pairs(
     assert n_chunks <= 16, "chunks need >= 4 bits each"
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
-    sh = simhash_table(df, text_col, key_col).cache()
+    sh = simhash_table(df, text_col, key_col, hash_fn=hash_fn).cache()
     chunks = []
     for c in range(n_chunks):
         # last chunk absorbs the remainder bits
