@@ -421,12 +421,54 @@ def _q_bpe_token_stats(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # approximate (bucketed, multi-probe) — rows-only oracle; recall vs
-    # brute force is asserted in tests/test_dedup.py
+    # approximate (bucketed, multi-probe) — but still DETERMINISTIC given
+    # the seeded hyperplanes, so the DuckDB oracle replays the whole
+    # thing: same plane literals, candidate = hamming(sig_q, sig_c) <= 1
+    # in any table (exactly the probe-all-1-bit-flips rule), same
+    # ranking. Recall vs brute force additionally asserted in tests.
     from validatelite_spark.operators.similarity import lsh_topk
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, q, k=10, n_planes=6, n_tables=8, dim=64)
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of ``_q_ann_lsh``: the seeded hyperplanes are
+    embedded as literals (same floats the Spark UDF matmuls against);
+    signatures, OR-amplified multi-probe candidacy, cosine scoring and
+    ranking are all recomputed in SQL."""
+    from validatelite_spark.operators.similarity import _hyperplanes
+    tables = [_hyperplanes(64, 6, 42 + 7919 * t) for t in range(8)]
+    rows = ", ".join(
+        f"({t}, {i}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for t, planes in enumerate(tables)
+        for i, plane in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p(tbl, plane, w) AS (VALUES {rows}),
+sigs AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+                  THEN (1::bigint << p.plane) ELSE 0 END) AS sig
+  FROM e, p GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c
+    ON q.tbl = c.tbl AND bit_count(xor(q.sig, c.sig)) <= 1
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(c.v, q.v) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(q.v, q.v))), 6) AS score
+  FROM cand JOIN e c ON c.vec_id = cand.neighbor_id
+            JOIN e q ON q.vec_id = cand.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10"""
 
 
 def _q_embedding_pairs_lsh(spark, sf_dir):
@@ -1051,6 +1093,7 @@ HAVING count(*) >= 1
                         AS BIGINT) AS bpe_tokens,
                    count(*) AS docs
             FROM documents GROUP BY lang""",
+        "ann_lsh": _lsh_oracle(),
         "ann_bruteforce": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
