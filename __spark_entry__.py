@@ -432,17 +432,26 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, q, k=10, n_planes=6, n_tables=8, dim=64)
 
 
-def _lsh_oracle() -> str:
-    """DuckDB replay of ``_q_ann_lsh``: the seeded hyperplanes are
-    embedded as literals (same floats the Spark UDF matmuls against);
-    signatures, OR-amplified multi-probe candidacy, cosine scoring and
-    ranking are all recomputed in SQL."""
+def _plane_rows(n_planes: int, n_tables: int,
+                dim: int = 64, seed: int = 42) -> str:
+    """The seeded hyperplanes as a SQL VALUES list — the same floats the
+    Spark signature UDF matmuls against, so DuckDB can rebuild identical
+    sign-bit signatures."""
     from validatelite_spark.operators.similarity import _hyperplanes
-    tables = [_hyperplanes(64, 6, 42 + 7919 * t) for t in range(8)]
-    rows = ", ".join(
+    tables = [_hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
+    return ", ".join(
         f"({t}, {i}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
         for t, planes in enumerate(tables)
         for i, plane in enumerate(planes))
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of ``_q_ann_lsh``: plane literals via
+    ``_plane_rows``; signatures, OR-amplified multi-probe candidacy
+    (hamming <= 1 per table), cosine scoring and ranking all recomputed
+    in SQL."""
+    rows = _plane_rows(n_planes=6, n_tables=8)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p(tbl, plane, w) AS (VALUES {rows}),
@@ -471,10 +480,39 @@ SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 10"""
 
 
+def _pairs_lsh_oracle() -> str:
+    """DuckDB replay of ``_q_embedding_pairs_lsh``: exact-bucket
+    collision in any of the 16 tables (no probes), then cosine >=
+    threshold on the deduped candidate pairs."""
+    rows = _plane_rows(n_planes=4, n_tables=16)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 800),
+p(tbl, plane, w) AS (VALUES {rows}),
+sigs AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+                  THEN (1::bigint << p.plane) ELSE 0 END) AS sig
+  FROM e, p GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sigs a JOIN sigs b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT cand.id1, cand.id2,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS score
+  FROM cand JOIN e a ON a.vec_id = cand.id1
+            JOIN e b ON b.vec_id = cand.id2)
+SELECT id1, id2, score FROM scored WHERE score >= 0.4"""
+
+
 def _q_embedding_pairs_lsh(spark, sf_dir):
     # the 100 TB path for near-dup pairs: LSH-bucketed (no all-pairs
-    # crossJoin) — approximate, so rows-only oracle; recall vs the exact
-    # result is asserted in tests/test_dedup.py
+    # crossJoin). Deterministic given the seeded planes → fully oracled
+    # (see _pairs_lsh_oracle); recall vs the exact result additionally
+    # asserted in tests/test_dedup.py
     from validatelite_spark.operators.similarity import embedding_cosine_pairs
     emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 800)
     return embedding_cosine_pairs(emb, threshold=0.4, round_to=6,
@@ -1094,6 +1132,7 @@ HAVING count(*) >= 1
                    count(*) AS docs
             FROM documents GROUP BY lang""",
         "ann_lsh": _lsh_oracle(),
+        "embedding_pairs_lsh": _pairs_lsh_oracle(),
         "ann_bruteforce": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
