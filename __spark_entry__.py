@@ -1117,7 +1117,8 @@ HAVING count(*) >= 1
                                         AND CURRENT ROW) - n_chars AS pre
               FROM documents
             )
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS tokens
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS tokens
             FROM running WHERE pre < 5000 GROUP BY lang""",
         "quality_quantiles": """
             SELECT lang,

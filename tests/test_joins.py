@@ -36,6 +36,17 @@ class TestAsofJoin:
         got = asof_join(left, right, by="k", tiebreak="rid").collect()
         assert got[0]["right_rid"] == 902
 
+    def test_equal_ts_tiebreak_string_ids(self, spark):
+        """Tiebreak column ordered in its NATIVE type: a string id must
+        still break equal-ts ties (the old cast-to-long produced NULLs
+        and silently dropped the ordering — ADVICE r2)."""
+        left = _df(spark, [(1, 7, 10.0)], "lid long, k long, ts double")
+        right = _df(spark, [("ev-a", 7, 10.0), ("ev-z", 7, 10.0),
+                            ("ev-m", 7, 10.0)],
+                    "rid string, k long, ts double")
+        got = asof_join(left, right, by="k", tiebreak="rid").collect()
+        assert got[0]["right_rid"] == "ev-z"  # max in native string order
+
     def test_partition_invariance(self, spark):
         left = _df(spark, [(i, i % 5, float(i)) for i in range(200)],
                    "lid long, k long, ts double")

@@ -60,3 +60,53 @@ class TestTokenBudget:
         b = sorted((r["g"], r["doc_id"]) for r in token_budget_filter(
             df.repartition(11), 800, "n", "g", key_col="doc_id").collect())
         assert a == b
+
+    def test_two_phase_equals_single_window_reference(self, spark):
+        """The bucketed prefix sum must reproduce the definitional
+        single-window cumsum exactly — including order ties that span
+        bucket boundaries and groups with constant order_col."""
+        from pyspark.sql import Window
+        rows = [("g%d" % (i % 3), i, (i * 7919) % 50 + 1)
+                for i in range(600)]
+        rows += [("const", 1000 + i, 42) for i in range(30)]  # 1 bucket
+        df = spark.createDataFrame(rows, "g string, doc_id long, n long")
+        got = sorted((r["g"], r["doc_id"]) for r in token_budget_filter(
+            df, 500, "n", "g", key_col="doc_id", n_buckets=8).collect())
+        w = (Window.partitionBy("g").orderBy("n", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ref = sorted(
+            (r["g"], r["doc_id"])
+            for r in df.withColumn(
+                "pre", F.sum("n").over(w) - F.col("n"))
+            .filter(F.col("pre") < 500).collect())
+        assert got == ref
+
+    def test_heavy_window_partitions_by_group_and_bucket(self, spark):
+        """Scale gate: the cumsum window must partition on (group,
+        bucket), never on the group alone — one task per group is the
+        100 TB bottleneck the two-phase design removes (VERDICT r2 #2).
+        Also checks >1 bucket is actually populated per sizeable group."""
+        df = spark.createDataFrame(
+            [("en", i, i % 997 + 1) for i in range(5000)],
+            "lang string, doc_id long, n long")
+        kept = token_budget_filter(df, 10**9, "n", "lang",
+                                   key_col="doc_id", n_buckets=16)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        import re
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        heavy = [s for s in specs if "lang" in s and "n#" in s]
+        assert heavy, f"no cumsum window found in plan:\n{plan}"
+        assert all("__bkt" in s for s in heavy), (
+            f"cumsum window partitions by group alone: {heavy}")
+        # all docs kept (huge budget) → bucket spread is observable
+        assert kept.count() == 5000
+        n_buckets_used = (
+            df.groupBy("lang")
+            .agg(F.min("n").cast("double").alias("lo"),
+                 F.max("n").cast("double").alias("hi"))
+            .join(df, "lang")
+            .select(F.least(F.floor((F.col("n") - F.col("lo"))
+                                    / (F.col("hi") - F.col("lo")) * 16),
+                            F.lit(15)).alias("b"))
+            .distinct().count())
+        assert n_buckets_used > 1

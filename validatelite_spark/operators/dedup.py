@@ -429,6 +429,7 @@ def dedup_groups(
              .distinct().localCheckpoint())
     labels = (edges.select(F.col("src").alias("v")).distinct()
               .withColumn("label", F.col("v")).localCheckpoint())
+    changed = 0
     for _ in range(max_iters):
         msgs = (edges.join(labels.withColumnRenamed("v", "src"), "src")
                 .select(F.col("dst").alias("v"), "label"))
@@ -440,6 +441,14 @@ def dedup_groups(
         labels = new
         if changed == 0:
             break
+    if changed > 0:
+        # graph diameter exceeded max_iters: labels are only partially
+        # propagated → group_ids would silently diverge from true
+        # connected components (ADVICE r2)
+        raise RuntimeError(
+            f"dedup_groups did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters — "
+            "near-dup components are normally diameter 2-3")
     return labels.select(F.col("v").alias("doc_id"),
                          F.col("label").alias("group_id"))
 

@@ -51,11 +51,15 @@ def asof_join(
     right rows deterministically (e.g. an id — the max wins)."""
     lcols = left.columns
     rcols = right.columns
+    # tiebreak sorts in its NATIVE type: a cast (e.g. string id → long)
+    # would NULL out non-numeric ids and silently drop the deterministic
+    # tie-break (ADVICE r2); the left side carries a NULL of that type
+    tb_type = (right.schema[tiebreak].dataType if tiebreak else "long")
     l = left.select(
         F.col(by).alias("__by"), F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_l"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.lit(None).cast(
             right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
         ).alias("__r"))
@@ -65,7 +69,7 @@ def asof_join(
         F.lit(None).cast(
             left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
         ).alias("__l"),
-        (F.col(tiebreak).cast("long") if tiebreak
+        (F.col(tiebreak) if tiebreak
          else F.lit(0).cast("long")).alias("__tb"),
         F.struct(*[F.col(c) for c in rcols]).alias("__r"))
     # right rows sort BEFORE left at the same timestamp (__is_l 0 < 1)

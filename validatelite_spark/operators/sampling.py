@@ -10,10 +10,20 @@
   compose by applying different fractions per group.
 - **token_budget_filter**: the data-mixing primitive — within each
   group (lang, source, ...), take documents in a deterministic order
-  until a token budget is reached. One window cumsum per group; a doc
-  is kept while the PRE-doc running total is under budget, so the first
-  over-budget doc still lands (standard inclusive cut: the mix reaches
-  its budget instead of undershooting).
+  until a token budget is reached. A doc is kept while the PRE-doc
+  running total is under budget, so the first over-budget doc still
+  lands (standard inclusive cut: the mix reaches its budget instead of
+  undershooting).
+
+  Scale shape: a naive ``Window.partitionBy(group)`` cumsum funnels each
+  group through ONE task — at web scale the ``en`` group is most of the
+  corpus. Instead a two-phase prefix sum: range-bucket each group on the
+  order column (monotone → bucket order = sort order), aggregate
+  per-bucket token sums (tiny: groups × n_buckets rows), turn them into
+  cumulative bucket offsets with a window over that tiny table, then
+  broadcast the offsets back and run the cumsum window per (group,
+  bucket) — parallelism is groups × n_buckets and no task ever sees more
+  than one bucket of one group.
 """
 
 from __future__ import annotations
@@ -55,22 +65,59 @@ def token_budget_filter(
     by: str,
     order_col: str = None,
     key_col: str = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Keep documents per ``by`` group until ``budget`` tokens.
 
     Documents are taken in ascending ``order_col`` (ties broken by
     ``key_col`` for determinism); a doc is kept while the running token
     total BEFORE it is under the budget, so each group ends at or just
-    past its budget (never empty when any doc exists). One shuffle on
-    the group key; the window cumsum is linear per group."""
+    past its budget (never empty when any doc exists).
+
+    Two-phase prefix sum (see module docstring): each group is
+    range-bucketed on ``order_col`` into ``n_buckets`` buckets; the
+    global pre-doc running total is the group's cumulative bucket offset
+    (computed on the tiny per-bucket sums) plus the intra-bucket cumsum,
+    so the heavy window partitions by (group, bucket) — no
+    one-task-per-group bottleneck. Bucketing is a monotone function of
+    ``order_col`` alone, so bucket boundaries never split an order tie
+    and the result is identical to the single-window definition at any
+    partitioning. Degenerate case: a group whose ``order_col`` is a
+    single constant collapses to one bucket (ordering within it is pure
+    ``key_col``, which range-bucketing on the order column cannot split).
+    """
     order_col = order_col or token_col
-    ordering = [F.col(order_col)]
+    intra = [F.col(order_col)]
     if key_col:
-        ordering.append(F.col(key_col))
-    w = (Window.partitionBy(by).orderBy(*ordering)
+        intra.append(F.col(key_col))
+
+    # phase 0: per-group order_col range (tiny) → broadcast back
+    stats = (df.groupBy(by)
+             .agg(F.min(order_col).cast("double").alias("__lo"),
+                  F.max(order_col).cast("double").alias("__hi")))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(order_col).cast("double") - F.col("__lo"))
+                    / span * n_buckets).cast("int"),
+            F.lit(n_buckets - 1)))
+    b = (df.join(F.broadcast(stats), by)
+         .withColumn("__bkt", bucket).drop("__lo", "__hi"))
+
+    # phase 1: per-(group, bucket) token sums → cumulative offsets.
+    # bsums has ≤ |groups| × n_buckets rows, so this window is trivial.
+    bsums = b.groupBy(by, "__bkt").agg(F.sum(token_col).alias("__bsum"))
+    wo = (Window.partitionBy(by).orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = bsums.select(
+        by, "__bkt",
+        (F.sum("__bsum").over(wo) - F.col("__bsum")).alias("__off"))
+
+    # phase 2: intra-bucket cumsum + offset = global pre-doc total
+    w = (Window.partitionBy(by, "__bkt").orderBy(*intra)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    running = F.sum(token_col).over(w)
-    pre = running - F.col(token_col)  # total before this doc
-    return (df.withColumn("__pre", pre)
+    pre = (F.col("__off") + F.sum(token_col).over(w) - F.col(token_col))
+    return (b.join(F.broadcast(offsets), [by, "__bkt"])
+            .withColumn("__pre", pre)
             .filter(F.col("__pre") < budget)
-            .drop("__pre"))
+            .drop("__pre", "__bkt", "__off"))
