@@ -106,6 +106,27 @@ class TestNgramJaccard:
             docs.limit(20), threshold=0.01, df_cap=None)
         assert some.count() > 0  # the hot shingle connects them uncapped
 
+    def test_pair_expansion_streams_no_single_row_blowup(self, spark):
+        """An at-cap shingle must expand pairs through CHAINED generators
+        (posexplode suffixes), never a flatten() that materializes the
+        whole df²/2 struct array inside one row (VERDICT r2 #3: at
+        df_cap=10k that single row was ~50M structs → executor OOM).
+        Pins the plan shape AND exactness on a planted hot shingle."""
+        # 120 docs all share one shingle; each also has unique shingles
+        rows = [(i, f"shared hot trigram x{i} y{i} z{i}")
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dedup.ngram_jaccard_pairs(df, threshold=0.01, df_cap=None)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "flatten(" not in plan, "single-row nested-array expansion"
+        assert plan.count("Generate") >= 2, "expected chained explodes"
+        # exactness: every doc has 4 trigrams ('shared hot trigram',
+        # 'hot trigram x{i}', ...), exactly one shared → jaccard 1/7
+        got = pairs.collect()
+        assert len(got) == 120 * 119 // 2
+        assert all(abs(r["jaccard"] - round(1 / 7 + 1e-9, 6)) < 1e-9
+                   for r in got)
+
 
 class TestMinHashLSH:
     def test_matches_exhaustive(self, docs):

@@ -44,10 +44,13 @@ logger = logging.getLogger(__name__)
 #: this is a stop-shingle ("click here to …") and is dropped before pair
 #: expansion — one such shingle at web scale otherwise collects ALL its
 #: doc ids into one collect_list array and expands O(df²) pairs inside a
-#: single task. 10k is ~400x above the max df observed in the sf0.1
-#: corpus (25), so small-scale results are exact while the 100 TB path
-#: is bounded by construction.
-DEFAULT_DF_CAP = 10_000
+#: single task. 2k bounds the worst per-shingle expansion at ~2M pairs
+#: (streamed, never one giant row — see ``_pairs_from_exploded``) and is
+#: still ~80x above the max df observed in the sf0.1 corpus (25), so
+#: small-scale results are exact while the 100 TB path is bounded by
+#: construction; near-dup pairs produced by a shingle shared across 2k+
+#: documents are boilerplate noise, not signal.
+DEFAULT_DF_CAP = 2_000
 
 
 # ------------------------------------------------------------------ exact
@@ -153,24 +156,30 @@ def _pairs_from_exploded(ex: DataFrame, sizes: DataFrame,
     shingles quadratically THROUGH the join), group docs per shingle and
     expand ordered pairs inside the (usually tiny) per-shingle array —
     one groupBy(shingle) + one groupBy(pair), no join on the fat side.
-    Singleton shingles (the vast majority) never leave the first agg."""
+    Singleton shingles (the vast majority) never leave the first agg.
+
+    The pair expansion is TWO chained generators, not one flattened
+    array: posexplode the doc list to (i, id1), then explode the i+1..
+    suffix as id2. Each generated row holds at most one df_cap-sized
+    array (~16 KB at the default cap), and the O(df²) pairs stream
+    through whole-stage codegen into the partial aggregate — a single
+    at-cap shingle never materializes its df²/2 pair structs inside one
+    row (the round-2 OOM hazard: flatten() builds the entire nested
+    array in memory before explode sees it)."""
     per_shingle = (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list("k")).alias("ks"))
         .filter(F.size("ks") > 1)
     )
-    # ordered pairs within each shingle's doc list
-    pairs = per_shingle.select(
-        F.explode(
-            F.flatten(F.transform(
-                F.col("ks"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ks"), i + 2,
-                            F.greatest(F.size("ks") - i - 1, F.lit(0))),
-                    lambda y: F.struct(x.alias("id1"), y.alias("id2"))),
-            ))
-        ).alias("p")
-    ).select(F.col("p.id1"), F.col("p.id2"))
+    # ordered pairs within each shingle's doc list, one suffix at a time
+    lefts = per_shingle.select(
+        F.col("ks"), F.posexplode("ks").alias("__i", "id1"))
+    pairs = lefts.select(
+        "id1",
+        F.explode(F.slice(
+            F.col("ks"), F.col("__i") + 2,
+            F.greatest(F.size("ks") - F.col("__i") - 1, F.lit(0))))
+        .alias("id2"))
     common = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common"))
     return _jaccard_from_common(common, sizes, threshold)
 

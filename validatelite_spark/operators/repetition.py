@@ -22,6 +22,11 @@ Scale shape (100 TB):
 * decontamination: benchmark n-gram sets are MBs (eval suites), the
   corpus is the 100 TB side — so the benchmark set is broadcast and the
   corpus-side exploded n-grams join map-side without ever shuffling.
+  The broadcast is SIZE-GATED (``contaminated_docs(broadcast=None)``
+  counts the benchmark's distinct n-grams first): a corpus-sized
+  "benchmark" (e.g. corpus-vs-corpus overlap checks) would otherwise
+  broadcast terabytes — above the threshold the join falls back to a
+  shuffled sort-merge join, which scales with both sides.
 """
 
 from __future__ import annotations
@@ -179,6 +184,12 @@ def repetition_signals(
     )
 
 
+#: auto mode broadcasts the benchmark n-gram set only below this many
+#: distinct n-grams (~8M 8-gram strings ≈ 500 MB serialized — the edge
+#: of sane broadcast territory on big executors)
+BROADCAST_NGRAM_THRESHOLD = 8_000_000
+
+
 def contaminated_docs(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -188,15 +199,23 @@ def contaminated_docs(
     min_hits: int = 1,
     bench_text_col: str | None = None,
     arrow: bool = True,
+    broadcast: bool | None = None,
+    broadcast_threshold: int = BROADCAST_NGRAM_THRESHOLD,
 ) -> DataFrame:
     """Documents sharing ≥ ``min_hits`` distinct word n-grams with a
     benchmark corpus → ``(doc_id, hit_ngrams, overlap_frac)`` where
     ``overlap_frac`` is the share of the doc's distinct n-grams found in
     the benchmark.
 
-    The benchmark's distinct n-gram set is broadcast (eval suites are
-    MBs; the corpus is the big side), so the corpus scan joins map-side
-    and never shuffles its n-grams — only the per-doc hit counts move.
+    Join strategy is size-gated. ``broadcast=True`` broadcasts the
+    benchmark's distinct n-gram set (eval suites are MBs; the corpus
+    side joins map-side and never shuffles its n-grams — only per-doc
+    hit counts move). ``broadcast=False`` forces a shuffled sort-merge
+    join — the right shape when the "benchmark" is itself corpus-sized
+    (corpus-vs-corpus overlap), where a broadcast would ship terabytes
+    to every executor. ``broadcast=None`` (default) counts the distinct
+    benchmark n-grams first (one cheap aggregate over the small side)
+    and broadcasts only under ``broadcast_threshold``.
     """
     bcol = bench_text_col or text_col
     b_sh = (
@@ -204,10 +223,14 @@ def contaminated_docs(
         .select(F.explode("sh").alias("s"))
         .distinct()
     )
+    if broadcast is None:
+        b_sh = b_sh.cache()  # counted here, reused by the join
+        broadcast = b_sh.count() <= broadcast_threshold
+    bench_side = F.broadcast(b_sh) if broadcast else b_sh.hint("merge")
     d_tab = _shingle_table(docs, text_col, id_col, n, arrow=arrow)
     ex = d_tab.select("k", "sz", F.explode("sh").alias("s"))
     return (
-        ex.join(F.broadcast(b_sh), "s")
+        ex.join(bench_side, "s")
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("hit_ngrams"),
              F.first("sz").alias("sz"))
