@@ -61,3 +61,10 @@ class TestPlanShape:
         import __spark_entry__ as em
         plan = plan_of(em._q_top_customers(spark, sf_dir))
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        # top-k must be TakeOrderedAndProject (per-partition top-k),
+        # never a global window over ALL aggregated customers; the only
+        # single-partition exchange allowed is the post-limit k-row rank
+        assert "TakeOrderedAndProject" in plan
+        win_inputs = plan.split("Window")[1] if "Window" in plan else ""
+        assert "TakeOrderedAndProject" in win_inputs, (
+            "rank window must consume the k-row limit, not the full join")

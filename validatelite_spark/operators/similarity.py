@@ -390,9 +390,9 @@ def ivf_topk(
     better recall at the same ``n_probe``. ``centroids`` accepts a
     precomputed quantizer (e.g. trained once, reused across queries).
 
-    At 100 TB the bucketed corpus is written partitioned by bucket so a
-    probe is a partition-pruned scan, and the assign step moves to a
-    pandas UDF (one matmul per Arrow batch)."""
+    This call assigns the corpus at query time; for the 100 TB shape —
+    assign ONCE, probe many times against a partition-pruned scan — use
+    ``ivf_index_write`` + ``ivf_index_probe``."""
     if centroids is not None:
         cents = centroids
     elif refine_iters > 0:
@@ -415,6 +415,99 @@ def ivf_topk(
         F.explode(_probe_udf(cents, n_probe)(F.col(vec_col)))
         .alias("bucket"))
 
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score",
+                    F.round(_dot(F.col("cv"), F.col("qv"))
+                            / (F.col("cn") * F.col("qn")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
+# ---------------------------------------------------------- IVF on disk
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    centroids: list[list[float]] | None = None,
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Build and persist an IVF index: the corpus is bucket-assigned
+    ONCE (Arrow-matmul argmax, same rule as ``ivf_topk``) and written
+    ``partitionBy("bucket")`` so every later probe is a PARTITION-PRUNED
+    scan touching only ~n_probe/n_centroids of the files. Per-vector
+    norms are precomputed into the index (``__norm``) so probes never
+    re-reduce the arrays. The quantizer (k×dim floats) rides along as a
+    ``_ivf_centroids.json`` sidecar (underscore-prefixed → invisible to
+    Spark's parquet reader, like ``_SUCCESS``; at cluster scale write it
+    through the same shared-FS client as the parquet). Returns the
+    centroids."""
+    import json
+    import os
+
+    if centroids is not None:
+        cents = centroids
+    elif refine_iters > 0:
+        cents = kmeans_centroids(corpus, n_centroids, id_col, vec_col,
+                                 iters=refine_iters, round_to=round_to)
+    else:
+        cents = _centroids_of(corpus, n_centroids, id_col, vec_col)
+    (corpus.select(
+        F.col(id_col), F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__norm"),
+        _bucket_udf(cents)(F.col(vec_col)).alias("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump(cents, fh)
+    return cents
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k ANN against a persisted ``ivf_index_write`` index.
+
+    The queries' probe buckets are collected (≤ |queries|·n_probe ints —
+    the query side is small by contract) and applied as a LITERAL
+    ``bucket IN (...)`` predicate, so Catalyst prunes the non-probed
+    bucket partitions at planning time (``PartitionFilters`` on the
+    scan — pinned by tests/test_ivf.py). Scoring is identical to
+    ``ivf_topk``: stored norms, same rounding, same tie-break."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        cents = json.load(fh)
+    n_probe = min(n_probe, len(cents))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        F.explode(_probe_udf(cents, n_probe)(F.col(vec_col)))
+        .alias("bucket"))
+    buckets = sorted({r["bucket"] for r in
+                      q.select("bucket").distinct().collect()})
+
+    c = (spark.read.parquet(path)
+         .filter(F.col("bucket").isin(buckets))
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("cv"),
+                 F.col("__norm").alias("cn"), "bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
