@@ -20,6 +20,87 @@ from typing import Optional
 from validatelite_spark.core.results import ExecutionStatus, RuleResult
 
 
+def format_report(
+    results: list[RuleResult],
+    source: str,
+    execution_time: float = 0.0,
+    verbose: bool = False,
+    quiet: bool = False,
+    max_samples: int = 20,
+) -> str:
+    """Reference-layout console report (reference:
+    cli/core/output_formatter.py:138-366): header, per-rule ✓/✗/⚠ lines
+    with failure rate, verbose sample echo ('  │ Row N: value'), and the
+    'Summary: X passed, Y failed (Z% overall error rate)' trailer.
+    ``quiet`` collapses to the one-line summary."""
+    stats_total = max((r.total_records for r in results), default=0)
+    n_pass = sum(r.status == ExecutionStatus.PASSED for r in results)
+    n_fail = sum(r.status == ExecutionStatus.FAILED for r in results)
+    total_failures = sum(r.failed_records for r in results
+                         if r.status == ExecutionStatus.FAILED)
+    err_rate = (total_failures / stats_total * 100) if stats_total else 0.0
+
+    if quiet:
+        sym = "✓" if n_fail == 0 else "✗"
+        return (f"{sym} {n_pass} passed, {n_fail} failed "
+                f"({err_rate:.2f}% error rate) - {execution_time:.2f}s")
+
+    lines = [f"\n✓ Checking {source} ({stats_total:,} records)"]
+    if verbose:
+        lines.append(f"│ Rules: {len(results)} validation rules loaded")
+        lines.append("")
+    lines.append("Results:")
+    for r in results:
+        desc = r.rule_name
+        if r.status == ExecutionStatus.PASSED:
+            lines.append(f"✓ {desc}: PASSED (0 failures)")
+            if verbose:
+                lines.append(
+                    f"  │ Checked {r.total_records:,} records, all valid")
+                if r.execution_time:
+                    lines.append(
+                        f"  │ Performance: {r.execution_time:.2f}s")
+        elif r.status == ExecutionStatus.FAILED:
+            rate = (r.failed_records / r.total_records * 100
+                    if r.total_records else 0.0)
+            lines.append(f"✗ {desc}: FAILED ({r.failed_records} failures)")
+            lines.append(f"  │ Failure rate: {rate:.2f}% "
+                         f"({r.failed_records} out of {r.total_records:,})")
+            if verbose and r.sample_data:
+                shown = r.sample_data[:max_samples]
+                lines.append(f"  │ Sample failures (showing first "
+                             f"{len(shown)} of {len(r.sample_data)}):")
+                for i, s in enumerate(shown, 1):
+                    row = f"Row {s.get('row_number', i)}"
+                    if "column_value" in s:
+                        val = s["column_value"]
+                        if val is None:
+                            vs = "NULL"
+                        elif isinstance(val, str) and len(val) > 50:
+                            vs = f"'{val[:47]}...'"
+                        else:
+                            vs = f"'{val}'"
+                        lines.append(f"  │   {row}: {vs}")
+                    else:
+                        lines.append(f"  │   {row}: {s}")
+                if len(r.sample_data) > max_samples:
+                    lines.append(f"  │   ... and "
+                                 f"{len(r.sample_data) - max_samples} "
+                                 "more failures")
+            if verbose and r.execution_time:
+                lines.append(f"  │ Performance: {r.execution_time:.2f}s")
+        elif r.status == ExecutionStatus.SKIPPED:
+            lines.append(f"- {desc}: SKIPPED")
+        else:
+            lines.append(f"⚠ {desc}: ERROR")
+            lines.append(f"  │ Error: {r.error_message}")
+    lines.append(f"\nSummary: {n_pass} passed, {n_fail} failed "
+                 f"({err_rate:.2f}% overall error rate)")
+    lines.append(f"{'Processing time' if verbose else 'Time'}: "
+                 f"{execution_time:.2f}s")
+    return "\n".join(lines)
+
+
 def _fmt_table(results: list[RuleResult]) -> str:
     lines = []
     mark = {"PASSED": "✓", "FAILED": "✗", "ERROR": "!", "SKIPPED": "-"}
@@ -38,7 +119,9 @@ def _fmt_table(results: list[RuleResult]) -> str:
     return "\n".join(lines)
 
 
-def _emit(results: list[RuleResult], as_json: bool) -> int:
+def _emit(results: list[RuleResult], as_json: bool, source: str = "",
+          elapsed: float = 0.0, verbose: bool = False,
+          quiet: bool = False) -> int:
     if as_json:
         print(json.dumps({
             "summary": {
@@ -52,6 +135,9 @@ def _emit(results: list[RuleResult], as_json: bool) -> int:
             },
             "results": [r.to_dict() for r in results],
         }, default=str))
+    elif source:
+        print(format_report(results, source, elapsed,
+                            verbose=verbose, quiet=quiet))
     else:
         print(_fmt_table(results))
     return 1 if any(r.status == ExecutionStatus.FAILED for r in results) else 0
@@ -72,6 +158,10 @@ def main(argv: Optional[list[str]] = None) -> int:
     p_check.add_argument("--rules", help="JSON rules file")
     p_check.add_argument("--table", default=None)
     p_check.add_argument("--json", action="store_true")
+    p_check.add_argument("--verbose", "-v", action="store_true",
+                         help="per-rule detail + failure sample echo")
+    p_check.add_argument("--quiet", "-q", action="store_true",
+                         help="one-line summary only")
 
     p_schema = sub.add_parser("schema", help="declared-schema validation")
     p_schema.add_argument("source")
@@ -151,9 +241,13 @@ def main(argv: Optional[list[str]] = None) -> int:
                 allowed = set(EngineConfig.__dataclass_fields__)
                 cfg = EngineConfig(**{k: v for k, v in payload.items()
                                       if k in allowed})
+            import time as _time
+            t0 = _time.time()
             results = RuleEngine(spark, cfg).execute(
                 df, rules, table_name=args.table or args.source)
-            return _emit(results, args.json)
+            return _emit(results, args.json, source=args.source,
+                         elapsed=_time.time() - t0,
+                         verbose=args.verbose, quiet=args.quiet)
 
         if args.command == "schema":
             import time as _time

@@ -7,8 +7,12 @@
   union both sides, ONE shuffle on the key, sort within partitions, and
   a running ``last(right, ignorenulls=True)`` window carries the most
   recent right row forward onto each left row. Cost is a single
-  sort-shuffle of |L|+|R| rows at any scale; skewed keys behave exactly
-  like any window partition (salt upstream if one key dominates).
+  sort-shuffle of |L|+|R| rows at any scale. Skewed keys: pass
+  ``salt=N`` — left rows scatter across N sub-partitions of their key
+  (deterministic hash) while the right side replicates into every
+  sub-partition, so each sub-partition sees the FULL right history and
+  1/N of the left rows; output is identical to unsalted at N× right-side
+  duplication (the standard replicate-small-side skew trade).
 
 - **range join** (point-in-interval): naive Spark turns
   ``l.x BETWEEN r.start AND r.end`` into BroadcastNestedLoopJoin (or a
@@ -40,6 +44,7 @@ def asof_join(
     right_ts: str = "ts",
     right_prefix: str = "right_",
     tiebreak: str | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """Backward-inclusive as-of join (pandas ``merge_asof`` semantics).
 
@@ -48,7 +53,10 @@ def asof_join(
     ``right_prefix`` (NULL columns when no right row precedes). At equal
     timestamps the right row matches (inclusive). ``tiebreak``: a right
     column ordered ascending to break equal-timestamp ties between
-    right rows deterministically (e.g. an id — the max wins)."""
+    right rows deterministically (e.g. an id — the max wins).
+    ``salt``: split each key's window into this many sub-partitions when
+    one key dominates the input (see module docstring) — results are
+    identical for any salt value."""
     lcols = left.columns
     rcols = right.columns
     # tiebreak sorts in its NATIVE type: a cast (e.g. string id → long)
@@ -75,7 +83,17 @@ def asof_join(
     # right rows sort BEFORE left at the same timestamp (__is_l 0 < 1)
     # so an equal-ts right row is visible to the left row (inclusive);
     # among equal-ts right rows the max tiebreak wins (last in order)
-    w = (Window.partitionBy("__by")
+    part_cols = ["__by"]
+    if salt > 1:
+        # deterministic scatter of LEFT rows; right history replicates
+        # into every sub-partition so each one is self-contained
+        l = l.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("__l")), F.lit(salt)))
+        r = r.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        part_cols.append("__salt")
+    w = (Window.partitionBy(*part_cols)
          .orderBy("__ts", "__is_l", "__tb")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (l.unionByName(r)
