@@ -834,6 +834,41 @@ def _q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs)
 
 
+def _q_line_dedup(spark, sf_dir):
+    # C4-style corpus-wide line dedup (operators/lines.py). The
+    # documents corpus is single-line, so the query runs the operator's
+    # degenerate doc-granularity form — later duplicate texts blank to
+    # '' — which makes the global first-occurrence machinery fully
+    # DuckDB-verifiable; multi-line semantics are pinned in
+    # tests/test_lines.py against a pandas reference.
+    from validatelite_spark.operators.lines import line_dedup
+    docs = _read(spark, sf_dir, "documents")
+    out = line_dedup(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", F.md5("text_dedup").alias("fp"),
+        F.length("text_dedup").alias("n"))
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # per-stratum deterministic sampling (the data-mix knob): exact row
+    # set verified — md5 arithmetic is engine-portable
+    from validatelite_spark.operators.sampling import stratified_sample
+    docs = _read(spark, sf_dir, "documents")
+    return (stratified_sample(docs, {"en": 0.5, "de": 1.0, "zh": 0.1},
+                              "doc_id", "lang", seed=11)
+            .select("doc_id", "lang"))
+
+
+def _q_quantile_filter(spark, sf_dir):
+    # adaptive per-group threshold: keep docs at/above their language's
+    # 75th length percentile (exact interpolated quantile, broadcast
+    # threshold join — operators/sampling.py)
+    from validatelite_spark.operators.sampling import quantile_filter
+    docs = _read(spark, sf_dir, "documents")
+    return (quantile_filter(docs, "n_chars", "lang", 0.75, keep="ge")
+            .select("doc_id", "lang", "n_chars"))
+
+
 def _q_dedup_kept_corpus(spark, sf_dir):
     # the full dedup loop a training pipeline runs: near-dup pairs →
     # connected components → keep ONE representative per group (the doc
@@ -937,6 +972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": _q_time_rollup,
         "hash_sample": _q_hash_sample,
         "token_budget": _q_token_budget,
+        "line_dedup": _q_line_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "quantile_filter": _q_quantile_filter,
         "quality_quantiles": _q_quality_quantiles,
     }
 
@@ -1164,6 +1202,37 @@ HAVING count(*) >= 1
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS tokens
             FROM running WHERE pre < 5000 GROUP BY lang""",
+        "line_dedup": """
+            WITH nn AS (
+              SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY text
+                                        ORDER BY doc_id) AS rn
+              FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id,
+                   md5(CASE WHEN rn = 1 THEN text ELSE '' END) AS fp,
+                   CAST(length(CASE WHEN rn = 1 THEN text ELSE '' END)
+                        AS INTEGER) AS n
+            FROM nn
+            UNION ALL
+            SELECT doc_id, NULL AS fp, NULL AS n
+            FROM documents WHERE text IS NULL""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':11'), 1, 8)) AS BIGINT)
+                  % 1000000
+                  < CASE lang WHEN 'en' THEN 500000
+                              WHEN 'de' THEN 1000000
+                              WHEN 'zh' THEN 100000
+                              ELSE 0 END""",
+        "quantile_filter": """
+            WITH th AS (
+              SELECT lang, round(quantile_cont(n_chars, 0.75) + 1e-9, 4)
+                     AS t
+              FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN th USING (lang)
+            WHERE d.n_chars >= th.t""",
         "quality_quantiles": """
             SELECT lang,
                    round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50,

@@ -1,0 +1,82 @@
+"""C4-style corpus-wide line dedup (operators/lines.py)."""
+
+from __future__ import annotations
+
+from validatelite_spark.operators.lines import line_dedup
+
+
+def _ref_line_dedup(rows, min_line_chars=0):
+    """Independent pandas-free reference: first occurrence by
+    (doc_id asc, position asc) wins; shorter-than-min lines always
+    survive."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        if text is None:
+            out[doc_id] = None
+            continue
+        kept = []
+        for line in text.split("\n"):
+            if len(line) < min_line_chars:
+                kept.append(line)
+                continue
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        out[doc_id] = "\n".join(kept)
+    return out
+
+
+class TestLineDedup:
+    def test_first_occurrence_wins_across_docs(self, spark):
+        rows = [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma"),         # loses 'shared line' to 1
+            (3, "delta\nshared line"),          # ditto
+            (4, "shared line"),                 # everything deduped → ''
+            (5, None),                          # NULL stays NULL
+            (6, "unique closing line"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text_dedup"]
+               for r in line_dedup(df).collect()}
+        assert got == _ref_line_dedup(rows)
+        assert got[1] == "alpha\nshared line\nbeta"
+        assert got[2] == "gamma"
+        assert got[4] == ""
+        assert got[5] is None
+
+    def test_intra_doc_duplicates_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x\nx\ny\nx")], "doc_id long, text string")
+        got = line_dedup(df).collect()[0]["text_dedup"]
+        assert got == "x\ny"
+
+    def test_min_line_chars_guard(self, spark):
+        rows = [(1, "-\nlong shared paragraph here"),
+                (2, "-\nlong shared paragraph here\n-")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text_dedup"]
+               for r in line_dedup(df, min_line_chars=3).collect()}
+        # '-' bullets survive everywhere; the paragraph dedups to doc 1
+        assert got[1] == "-\nlong shared paragraph here"
+        assert got[2] == "-\n-"
+        assert got == _ref_line_dedup(rows, min_line_chars=3)
+
+    def test_partition_invariance(self, spark):
+        rows = [(i, "\n".join(f"line {(i * j) % 17}" for j in range(5)))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, line_dedup(df).collect()))
+        b = sorted(map(tuple, line_dedup(df.repartition(7)).collect()))
+        assert a == b
+        assert a == sorted(_ref_line_dedup(rows).items())
+
+    def test_single_line_degenerate_form_blanks_dups(self, spark):
+        # the driver-query configuration: no newlines → doc-level dedup
+        df = spark.createDataFrame(
+            [(10, "same text"), (11, "same text"), (12, "other")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["text_dedup"]
+               for r in line_dedup(df).collect()}
+        assert got == {10: "same text", 11: "", 12: "other"}

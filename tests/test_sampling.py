@@ -110,3 +110,60 @@ class TestTokenBudget:
                             F.lit(15)).alias("b"))
             .distinct().count())
         assert n_buckets_used > 1
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates_and_determinism(self, spark):
+        from validatelite_spark.operators.sampling import stratified_sample
+        rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+        df = spark.createDataFrame(rows, "k long, lang string")
+        out = stratified_sample(df, {"en": 0.5, "de": 1.0}, "k", "lang",
+                                default_fraction=0.0)
+        by_lang = {r["lang"]: r["n"] for r in
+                   out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by_lang.get("de") == 1000        # fraction 1.0 keeps all
+        assert "zh" not in by_lang              # default 0.0 drops all
+        assert 400 < by_lang.get("en", 0) < 600  # ~0.5 of 1000
+        # deterministic across partitionings
+        a = sorted(r["k"] for r in out.collect())
+        b = sorted(r["k"] for r in stratified_sample(
+            df.repartition(13), {"en": 0.5, "de": 1.0}, "k", "lang").collect())
+        assert a == b
+
+    def test_consistent_with_hash_sample(self, spark):
+        from validatelite_spark.operators.sampling import (hash_sample,
+                                                           stratified_sample)
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(500)], "k long, lang string")
+        strat = sorted(r["k"] for r in stratified_sample(
+            df, {"en": 0.3}, "k", "lang", seed=9).collect())
+        plain = sorted(r["k"] for r in hash_sample(df, 0.3, "k",
+                                                   seed=9).collect())
+        assert strat == plain  # same md5 arithmetic → same rows
+
+
+class TestQuantileFilter:
+    def test_per_group_threshold(self, spark):
+        from validatelite_spark.operators.sampling import quantile_filter
+        rows = [("a", i, i) for i in range(1, 101)]       # 1..100
+        rows += [("b", 1000 + i, 10 * i) for i in range(1, 11)]  # 10..100
+        df = spark.createDataFrame(rows, "g string, k long, v long")
+        kept = quantile_filter(df, "v", "g", 0.5, keep="ge").collect()
+        a_vals = sorted(r["v"] for r in kept if r["g"] == "a")
+        b_vals = sorted(r["v"] for r in kept if r["g"] == "b")
+        # group a median = 50.5 → keep 51..100; group b median = 55 → 60..100
+        assert a_vals == list(range(51, 101))
+        assert b_vals == [60, 70, 80, 90, 100]
+        # 'le' keeps the complement boundary-inclusively
+        low = quantile_filter(df, "v", "g", 0.5, keep="le")
+        assert sorted(r["v"] for r in low.collect() if r["g"] == "a") \
+            == list(range(1, 51))
+
+    def test_threshold_join_is_broadcast(self, spark):
+        from validatelite_spark.operators.sampling import quantile_filter
+        df = spark.createDataFrame(
+            [("g%d" % (i % 3), i, i % 50) for i in range(300)],
+            "g string, k long, v long")
+        plan = (quantile_filter(df, "v", "g", 0.9)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan

@@ -1,0 +1,79 @@
+"""Corpus-wide line-level deduplication (the C4 recipe).
+
+C4 (Raffel et al. 2020, §2.2) removes every occurrence-but-one of each
+three-sentence span across the WHOLE corpus; modern web pipelines apply
+the same rule at line granularity ("remove duplicated lines, keep the
+first occurrence"). The reference engine has no analogue (its closest
+surface is UNIQUE's duplicate counting, core/executors/uniqueness —
+reference: core/executors/uniqueness_executor.py) — this is a
+training-data operator.
+
+Scale shape (100 TB): one posexplode (doc → lines), ONE shuffle keyed by
+the line string (uniform — boilerplate lines are hot keys, but the
+window only row_numbers within them, it never collects them), and one
+groupBy(doc) to reassemble kept lines in order. Line order inside a doc
+is restored via ``array_sort`` over (pos, line) structs — no second
+window. Deterministic: the kept occurrence is the (min doc key, min
+position) one at any partitioning/cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    split_pattern: str = "\n",
+    join_sep: str = "\n",
+    min_line_chars: int = 0,
+) -> DataFrame:
+    """Remove duplicate lines corpus-wide, keeping the FIRST occurrence
+    (min ``key_col``, then min position within the doc).
+
+    Output: one row per input doc — ``(key_col, <text_col>_dedup)`` with
+    surviving lines rejoined by ``join_sep`` in original order. A doc
+    whose every line occurs earlier elsewhere keeps an empty string;
+    NULL text stays NULL. ``min_line_chars``: lines shorter than this
+    are passed through untouched (never deduped — the C4 guard against
+    nuking short common lines like list bullets); 0 dedups everything.
+
+    ``split_pattern`` is a Java regex (default: newline). With a pattern
+    that never matches, each doc is a single line and this degrades to
+    corpus-wide exact text dedup that BLANKS later duplicates instead of
+    dropping the rows — the driver query uses exactly that degenerate
+    form so the whole first-occurrence machinery is DuckDB-verifiable
+    on the single-line documents corpus."""
+    nn = df.filter(F.col(text_col).isNotNull())
+    lines = nn.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(F.split(F.col(text_col), split_pattern))
+        .alias("pos", "line"))
+    dedupable = F.length("line") >= min_line_chars
+    w = Window.partitionBy("line").orderBy("k", "pos")
+    kept = (lines
+            .withColumn("__rn", F.when(~dedupable, F.lit(1))
+                        .otherwise(F.row_number().over(w)))
+            .filter(F.col("__rn") == 1))
+    rebuilt = (
+        kept.groupBy("k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+             .alias("parts"))
+        .select(
+            "k",
+            F.concat_ws(join_sep,
+                        F.transform("parts", lambda p: p["line"]))
+            .alias("__dedup")))
+    out_col = f"{text_col}_dedup"
+    return (df.select(key_col,
+                      F.col(text_col).isNull().alias("__was_null"))
+            .join(rebuilt.withColumnRenamed("k", key_col), key_col, "left")
+            .select(
+                key_col,
+                # NULL in → NULL out; every-line-deduped → empty string
+                F.when(F.col("__was_null"), F.lit(None).cast("string"))
+                .otherwise(F.coalesce(F.col("__dedup"), F.lit("")))
+                .alias(out_col)))

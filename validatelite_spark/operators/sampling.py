@@ -121,3 +121,65 @@ def token_budget_filter(
             .withColumn("__pre", pre)
             .filter(F.col("__pre") < budget)
             .drop("__pre", "__bkt", "__off"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    key_col: str,
+    strata_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling — the data-mixing form of
+    ``hash_sample``: each ``strata_col`` value gets its own keep rate
+    (e.g. ``{"en": 0.3, "de": 1.0}``; strata absent from ``fractions``
+    use ``default_fraction``). Same md5 bucket arithmetic as
+    ``hash_sample``, so samples are reproducible across runs,
+    partitionings, and cluster sizes, and the same key keeps or drops
+    atomically across strata-mates. Pure filter — no shuffle, no UDF."""
+    from pyspark.sql import functions as F
+
+    for v in list(fractions.values()) + [default_fraction]:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("fractions must be in [0, 1]")
+    thr = F.lit(int(round(default_fraction * _DENOM)))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(int(round(frac * _DENOM)))).otherwise(thr)
+    bucket = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
+        16, 10).cast("long") % _DENOM
+    return df.filter(bucket < thr)
+
+
+def quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    q: float,
+    keep: str = "ge",
+    round_to: int = 4,
+) -> DataFrame:
+    """Adaptive per-group threshold filter: keep rows whose ``value_col``
+    is >= (``keep='ge'``) or <= (``'le'``) their group's exact
+    interpolated ``q``-quantile — the "keep the top X% by quality /
+    drop the top X% by perplexity PER LANGUAGE" primitive (fixed global
+    thresholds misfire when score distributions differ per group).
+
+    Physical shape: one aggregate computes every group's quantile (JVM
+    ``percentile``, partial-agg map-side; group count is tiny), the
+    per-group thresholds broadcast-join back, and the filter stays a
+    pure Column predicate on the scan side. Thresholds are rounded to
+    ``round_to`` (+1e-9 tie-break) so the comparison is reproducible in
+    any engine (DuckDB ``quantile_cont`` uses the same interpolation as
+    Spark ``percentile``)."""
+    if keep not in ("ge", "le"):
+        raise ValueError("keep must be 'ge' or 'le'")
+    th = (df.groupBy(by)
+          .agg(F.round(F.percentile(value_col, F.lit(q)) + 1e-9, round_to)
+               .alias("__th")))
+    joined = df.join(F.broadcast(th), by)
+    pred = (F.col(value_col) >= F.col("__th") if keep == "ge"
+            else F.col(value_col) <= F.col("__th"))
+    return joined.filter(pred).drop("__th")
