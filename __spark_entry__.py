@@ -682,6 +682,22 @@ def _pipeline_keep_sql_oracle() -> str:
         FROM documents"""
 
 
+def _q_html_extract_parity(spark, sf_dir):
+    # html → text extraction (functions/extraction.py) must reproduce
+    # the text column BYTE-IDENTICALLY per url on every planted page
+    # class — the north-rule per-row invariant. Pages are synthesized
+    # (no driver view) → rows-only oracle; full per-class parity is
+    # pinned in tests/test_extraction.py.
+    from validatelite_spark.functions.extraction import extract_text
+    from validatelite_spark.pipeline import synthesize_pages
+    pages = synthesize_pages(spark, 5000)
+    cmp = pages.select(extract_text(F.col("html")).alias("ex"), "text")
+    return cmp.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("ex").eqNullSafe(F.col("text")).cast("long"))
+        .alias("byte_identical"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     from validatelite_spark.operators.multimodal import decode_media
     from validatelite_spark.pipeline import synthesize_pages
@@ -960,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "top_customers": _q_top_customers,
         "pipeline_keep": _q_pipeline_keep,
+        "html_extract_parity": _q_html_extract_parity,
         "pipeline_keep_sql": _q_pipeline_keep_sql,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,

@@ -75,6 +75,15 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "repetition_signals",
     "decontaminate",
+    # round 3
+    "token_budget",
+    "hash_sample",
+    "stratified_sample",
+    "quantile_filter",
+    "line_dedup",
+    "time_rollup_events",
+    "quality_quantiles",
+    "ann_ivf_index",
 ]
 
 

@@ -161,8 +161,18 @@ def synthesize_pages(spark: SparkSession, n: int,
     warc_ts = F.timestamp_seconds(
         F.lit(1704067200) + F.pmod(F.xxhash64(i, F.lit(17)), F.lit(30 * 86400)))
 
+    # text is ESCAPED into the markup (as any real page would be) so
+    # html → text extraction can be verified byte-identical per url
+    # (functions/extraction.py; the north-rule invariant). & first so
+    # the entity ampersands themselves never double-escape.
+    escaped = F.replace(
+        F.replace(
+            F.replace(F.coalesce(text, F.lit("")),
+                      F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;")),
+        F.lit(">"), F.lit("&gt;"))
     html = F.encode(
-        F.concat(F.lit("<html><body><p>"), F.coalesce(text, F.lit("")),
+        F.concat(F.lit("<html><body><p>"), escaped,
                  F.lit("</p></body></html>")),
         "UTF-8",
     )
