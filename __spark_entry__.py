@@ -850,6 +850,53 @@ def _q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs)
 
 
+_INCR_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS k,
+         substr(md5(cast(doc_id AS varchar)), 1, 1) < '8' AS is_old,
+         list_distinct(list_transform(
+             range(1, len({toks}) - 1),
+             i -> array_to_string({toks}[i:i+2], ' '))) AS sh
+  FROM documents
+  WHERE len({toks}) >= 3
+), sized AS (
+  SELECT k, is_old, sh, len(sh) AS sz FROM t
+), ex AS (
+  SELECT k, is_old, unnest(sh) AS s FROM sized
+), common AS (
+  SELECT a.k AS id1, b.k AS id2, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.is_old AND NOT b.is_old
+  GROUP BY 1, 2
+)
+SELECT c.id1, c.id2,
+       round(c.common * 1.0 / (sa.sz + sb.sz - c.common) + 1e-9, 6) AS jaccard
+FROM common c
+JOIN sized sa ON sa.k = c.id1
+JOIN sized sb ON sb.k = c.id2
+WHERE round(c.common * 1.0 / (sa.sz + sb.sz - c.common) + 1e-9, 6) >= 0.5
+""".replace("{toks}", _d_tokens("text"))
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    # production incremental shape: dedupe a NEW batch against a
+    # PERSISTED corpus index (operators/dedup.py minhash_index_write /
+    # incremental_minhash_pairs) — only the new batch is shingled.
+    # Corpus = docs with md5(doc_id) first hex digit 0-7, batch = 8-f
+    # (engine-portable split). LSH recall ≈ 1 at b=32/r=3 → the
+    # exhaustive cross-Jaccard SQL is the oracle, like minhash_lsh_pairs.
+    import hashlib
+    import tempfile
+    from validatelite_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_index_write)
+    docs = _read(spark, sf_dir, "documents")
+    is_old = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/vlite_minhash_index_{tag}"
+    minhash_index_write(docs.filter(is_old), path)
+    return incremental_minhash_pairs(docs.filter(~is_old), path,
+                                     threshold=0.5)
+
+
 def _q_line_dedup(spark, sf_dir):
     # C4-style corpus-wide line dedup (operators/lines.py). The
     # documents corpus is single-line, so the query runs the operator's
@@ -990,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "token_budget": _q_token_budget,
         "line_dedup": _q_line_dedup,
+        "incremental_dedup": _q_incremental_dedup,
         "stratified_sample": _q_stratified_sample,
         "quantile_filter": _q_quantile_filter,
         "quality_quantiles": _q_quality_quantiles,
@@ -1158,6 +1206,7 @@ GROUP BY e.doc_id
 HAVING count(*) >= 1
 """.replace("{toks}", _d_tokens("text")),
         "minhash_lsh_pairs": _JACCARD_ORACLE,  # LSH+verify ≡ exhaustive
+        "incremental_dedup": _INCR_ORACLE,
         "dedup_groups": _CC_ORACLE.format(jaccard=_JACCARD_ORACLE),
         "dedup_kept_corpus": f"""
             SELECT d.doc_id, d.lang, d.n_chars FROM documents d

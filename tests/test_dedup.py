@@ -128,6 +128,50 @@ class TestNgramJaccard:
                    for r in got)
 
 
+class TestIncrementalMinhash:
+    def test_new_batch_vs_persisted_index(self, docs, tmp_path):
+        """Dedup a new batch against a written corpus index: pairs must
+        equal the cross-corpus slice of the exhaustive jaccard result,
+        with (id1=old, id2=new) orientation."""
+        path = str(tmp_path / "mh_index")
+        old = docs.filter("doc_id <= 2")     # 0,1 exact dups; 2 near
+        new = docs.filter("doc_id > 2")      # 3,4 a separate near pair
+        dedup.minhash_index_write(old, path)
+        got = {(r["id1"], r["id2"]): r["jaccard"]
+               for r in dedup.incremental_minhash_pairs(
+                   new, path, threshold=0.5).collect()}
+        # cross pairs only: no (0,1) [both old], no (3,4) [both new]
+        assert got == {}  # 3/4 are unrelated to 0/1/2
+        # now flip the split so cross near-dups exist
+        path2 = str(tmp_path / "mh_index2")
+        dedup.minhash_index_write(docs.filter("doc_id IN (0, 3)"), path2)
+        got2 = {(r["id1"], r["id2"]): r["jaccard"]
+                for r in dedup.incremental_minhash_pairs(
+                    docs.filter("doc_id IN (1, 2, 4)"), path2,
+                    threshold=0.5).collect()}
+        exhaustive = {(r["id1"], r["id2"]): r["jaccard"]
+                      for r in dedup.ngram_jaccard_pairs(
+                          docs, threshold=0.5).collect()}
+        want = {(a, b): j for (a, b), j in exhaustive.items()
+                if a in (0, 3) and b in (1, 2, 4)}
+        assert got2 == want and (0, 1) in got2 and (3, 4) in got2
+
+    def test_params_sidecar_respected(self, docs, tmp_path):
+        path = str(tmp_path / "mh_n4")
+        dedup.minhash_index_write(docs.filter("doc_id <= 2"), path, n=4,
+                                  bands=16, rows_per_band=2)
+        import json
+        with open(f"{path}/_minhash_params.json") as fh:
+            assert json.load(fh) == {"n": 4, "bands": 16,
+                                     "rows_per_band": 2}
+        # probe runs with the stored params (n=4 shingles): doc 1 is an
+        # exact dup of indexed 0 and a near-dup of indexed 2; (1,1)
+        # self-pair excluded
+        got = dedup.incremental_minhash_pairs(
+            docs.filter("doc_id = 1"), path, threshold=0.5).collect()
+        assert {(r["id1"], r["id2"]) for r in got} == {(0, 1), (2, 1)}
+
+
 class TestMinHashLSH:
     def test_matches_exhaustive(self, docs):
         exact = {(r["id1"], r["id2"]): r["jaccard"]

@@ -241,6 +241,23 @@ def ngram_jaccard_pairs(
 
 
 # ----------------------------------------------------------- minhash-lsh
+def _band_table(ex: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(k, band, sig) LSH band hashes from an exploded (k, s) shingle
+    table: min-hash signature per seed via one partial-aggregating
+    groupBy, then one posexplode over the array of per-band hashes."""
+    num_hashes = bands * rows_per_band
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = ex.groupBy("k").agg(*aggs)
+    band_sigs = F.array(*[
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}")
+                     for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+    return sig.select(F.col("k"),
+                      F.posexplode(band_sigs).alias("band", "sig"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -274,23 +291,13 @@ def minhash_lsh_pairs(
     verified with exact Jaccard so the output matches the exhaustive
     result whenever LSH recall ≈ 1 (b=32, r=3 ⇒ miss prob ≈ 2e-6 at
     j = 0.7)."""
-    num_hashes = bands * rows_per_band
     # shingles feed BOTH the signature pass and the verification join —
     # cache once (at cluster scale: persist to disk or reuse a staged table)
     t = _shingle_table(df, text_col, key_col, n).cache()
     ex = t.select("k", F.explode("sh").alias("s"))
-    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
-    sig = ex.groupBy("k").agg(*aggs)
     # one posexplode over an array of band hashes — a single pass instead
     # of a `bands`-way union of scans
-    band_sigs = F.array(*[
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}")
-                     for r in range(rows_per_band)])
-        for b in range(bands)
-    ])
-    bands_df = sig.select(
-        F.col("k"), F.posexplode(band_sigs).alias("band", "sig"))
+    bands_df = _band_table(ex, bands, rows_per_band)
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     candidates = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -313,6 +320,93 @@ def minhash_lsh_pairs(
         .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common"))
     )
     return _jaccard_from_common(common, t.select("k", "sz"), threshold)
+
+
+# ----------------------------------------------- incremental minhash index
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 3,
+) -> None:
+    """Persist the corpus-side MinHash dedup index so NEW batches can be
+    deduped against the corpus WITHOUT re-shingling it — the production
+    incremental shape (a crawl pipeline dedupes each incoming batch
+    against everything already kept, not the union from scratch).
+
+    Layout under ``path``: ``bands/`` (k, band, sig — the LSH candidate
+    feed), ``shingles/`` (k, s exploded — exact-Jaccard verification),
+    ``docs/`` (k, sz — set sizes), and a ``_minhash_params.json``
+    sidecar pinning (n, bands, rows_per_band) so a probe can never use
+    mismatched hashing. Index size is O(corpus shingles) — the same
+    data the one-shot path shuffles, now paid once instead of per batch.
+    """
+    import json
+    import os
+
+    t = _shingle_table(df, text_col, key_col, n).cache()
+    ex = t.select("k", F.explode("sh").alias("s"))
+    _band_table(ex, bands, rows_per_band).write.mode(
+        "overwrite").parquet(f"{path}/bands")
+    ex.write.mode("overwrite").parquet(f"{path}/shingles")
+    t.select("k", "sz").write.mode("overwrite").parquet(f"{path}/docs")
+    with open(os.path.join(path, "_minhash_params.json"), "w") as fh:
+        json.dump({"n": n, "bands": bands,
+                   "rows_per_band": rows_per_band}, fh)
+    t.unpersist()
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and a persisted corpus index
+    (``minhash_index_write``): ``(old_id, new_id, jaccard)``.
+
+    Only the new batch is shingled; candidates come from joining its
+    band hashes against the stored ``bands/`` table (shuffle keyed by
+    the tiny (band, sig) pair), and exact-Jaccard verification joins the
+    stored ``shingles/`` against the new batch's — ids + shingle strings
+    only, same lean shape as ``minhash_lsh_pairs``. Output matches the
+    exhaustive cross-corpus Jaccard at LSH recall ≈ 1 (b=32, r=3 ⇒ miss
+    prob ≈ 2e-6 at j = 0.7). Internal new×new dedup stays
+    ``minhash_lsh_pairs`` — this operator is the cross edge."""
+    import json
+    import os
+
+    spark = new_docs.sparkSession
+    with open(os.path.join(path, "_minhash_params.json")) as fh:
+        p = json.load(fh)
+    old_bands = spark.read.parquet(f"{path}/bands")
+    old_ex = spark.read.parquet(f"{path}/shingles")
+    old_sz = spark.read.parquet(f"{path}/docs")
+
+    t_new = _shingle_table(new_docs, text_col, key_col, p["n"]).cache()
+    new_ex = t_new.select("k", F.explode("sh").alias("s"))
+    new_bands = _band_table(new_ex, p["bands"], p["rows_per_band"])
+
+    candidates = (
+        old_bands.withColumnRenamed("k", "id1")
+        .join(new_bands.withColumnRenamed("k", "id2"), ["band", "sig"])
+        .filter(F.col("id1") != F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    e1 = old_ex.select(F.col("k").alias("id1"), "s")
+    e2 = new_ex.select(F.col("k").alias("id2"), "s")
+    common = (
+        candidates.join(e1, "id1")
+        .join(e2, ["id2", "s"])
+        .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = (old_sz.unionByName(t_new.select("k", "sz")).distinct())
+    return _jaccard_from_common(common, sizes, threshold)
 
 
 # ---------------------------------------------------------------- simhash
