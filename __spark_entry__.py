@@ -805,6 +805,17 @@ def _q_time_rollup(spark, sf_dir):
                        granularities=("hour", "day", "month"))
 
 
+def _q_key_skew(spark, sf_dir):
+    # skew diagnostics (operators/skew.py): hottest event users + the
+    # salt factor that would bound their largest task — the planning
+    # input for every salted operator in the engine. TakeOrderedAndProject
+    # top-k, no global sort.
+    from validatelite_spark.operators.skew import key_skew_report
+    ev = _read(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_k=5,
+                           target_rows_per_task=50)
+
+
 def _q_quality_quantiles(spark, sf_dir):
     # exact interpolated percentiles of doc length per lang (JVM-side
     # percentile(), not approx_percentile — matches quantile_cont)
@@ -1041,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "quantile_filter": _q_quantile_filter,
         "quality_quantiles": _q_quality_quantiles,
+        "key_skew": _q_key_skew,
     }
 
 
@@ -1291,6 +1303,14 @@ HAVING count(*) >= 1
                               WHEN 'de' THEN 1000000
                               WHEN 'zh' THEN 100000
                               ELSE 0 END""",
+        "key_skew": """
+            WITH c AS (SELECT user_id AS key, count(*) AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT count(*) AS total FROM events)
+            SELECT key, n,
+                   round(n * 1.0 / total + 1e-9, 6) AS share,
+                   CAST(ceil(n * 1.0 / 50) AS BIGINT) AS suggested_salt
+            FROM c, t ORDER BY n DESC, key LIMIT 5""",
         "quantile_filter": """
             WITH th AS (
               SELECT lang, round(quantile_cont(n_chars, 0.75) + 1e-9, 4)

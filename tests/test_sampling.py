@@ -167,3 +167,24 @@ class TestQuantileFilter:
         plan = (quantile_filter(df, "v", "g", 0.9)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestKeySkewReport:
+    def test_hot_keys_and_salt_suggestion(self, spark):
+        from validatelite_spark.operators.skew import key_skew_report
+        rows = [(0,)] * 500 + [(1,)] * 120 + [(k,) for k in range(2, 50)]
+        df = spark.createDataFrame(rows, "k long")
+        out = key_skew_report(df, "k", top_k=3,
+                              target_rows_per_task=100).collect()
+        assert [(r["key"], r["n"], r["suggested_salt"]) for r in out] == [
+            (0, 500, 5), (1, 120, 2), (2, 1, 1)]
+        total = 500 + 120 + 48
+        assert abs(out[0]["share"] - round(500 / total + 1e-9, 6)) < 1e-9
+
+    def test_topk_plan_has_no_global_sort_exchange(self, spark):
+        from validatelite_spark.operators.skew import key_skew_report
+        df = spark.createDataFrame([(i % 7,) for i in range(700)], "k long")
+        plan = (key_skew_report(df, "k", top_k=3)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
