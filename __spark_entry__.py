@@ -805,6 +805,15 @@ def _q_time_rollup(spark, sf_dir):
                        granularities=("hour", "day", "month"))
 
 
+def _q_top_ngrams(spark, sf_dir):
+    # boilerplate mining (operators/repetition.py top_ngrams): hottest
+    # corpus trigrams by occurrences — the blocklist feed. Top-k via
+    # TakeOrderedAndProject, deterministic tie-break.
+    from validatelite_spark.operators.repetition import top_ngrams
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", "doc_id", n=3, k=25, min_docs=2)
+
+
 def _q_key_skew(spark, sf_dir):
     # skew diagnostics (operators/skew.py): hottest event users + the
     # salt factor that would bound their largest task — the planning
@@ -1053,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _q_quantile_filter,
         "quality_quantiles": _q_quality_quantiles,
         "key_skew": _q_key_skew,
+        "top_ngrams": _q_top_ngrams,
     }
 
 
@@ -1303,6 +1313,21 @@ HAVING count(*) >= 1
                               WHEN 'de' THEN 1000000
                               WHEN 'zh' THEN 100000
                               ELSE 0 END""",
+        "top_ngrams": """
+WITH ex AS (
+  SELECT doc_id, unnest(list_transform(range(1, len({toks}) - 1),
+         i -> array_to_string({toks}[i:i+2], ' '))) AS s
+  FROM documents WHERE len({toks}) >= 3
+), per_doc AS (
+  SELECT doc_id, s, count(*) AS c FROM ex GROUP BY 1, 2
+)
+SELECT s AS ngram, count(*) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS occurrences
+FROM per_doc GROUP BY s
+HAVING count(*) >= 2
+ORDER BY occurrences DESC, n_docs DESC, ngram
+LIMIT 25
+""".replace("{toks}", _d_tokens("text")),
         "key_skew": """
             WITH c AS (SELECT user_id AS key, count(*) AS n
                        FROM events GROUP BY 1),

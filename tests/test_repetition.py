@@ -123,3 +123,19 @@ def test_contaminated_docs_size_gated_shuffle_branch(spark, sf_dir):
                                             broadcast=True).collect()))
     b = sorted(map(tuple, forced.collect()))
     assert a == b
+
+
+def test_top_ngrams_boilerplate_mining(spark):
+    from validatelite_spark.operators.repetition import top_ngrams
+    rows = [(i, f"click here to subscribe now plus unique{i} tail{i}")
+            for i in range(6)]
+    rows += [(100, "totally different text with no repeats at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = top_ngrams(df, "text", "doc_id", n=3, k=3).collect()
+    # boilerplate trigrams shared by the 6 planted docs dominate
+    assert out[0]["ngram"] == "click here to"
+    assert out[0]["n_docs"] == 6 and out[0]["occurrences"] == 6
+    assert all(r["n_docs"] >= 2 for r in out)
+    plan_df = top_ngrams(df, "text", "doc_id", n=3, k=3)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -190,6 +190,40 @@ def repetition_signals(
 BROADCAST_NGRAM_THRESHOLD = 8_000_000
 
 
+def top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 100,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide most frequent n-grams → (ngram, n_docs, occurrences)
+    — boilerplate mining: the hottest n-grams across a web corpus are
+    navigation chrome / cookie banners / footer text, and this list is
+    the input to a boilerplate blocklist (and to picking ``df_cap``).
+
+    One explode + one partial-aggregating groupBy(ngram) + a
+    ``TakeOrderedAndProject`` top-k — no global sort, nothing collects
+    the full n-gram table. Ties break by ngram ascending
+    (deterministic). ``min_docs`` drops the singleton tail before the
+    top-k (the overwhelming majority of n-grams — they can never be
+    boilerplate)."""
+    ng = ngrams_all_arrow(n)(F.col(text_col))
+    # occurrences + containing-doc count in one pass: count per
+    # (doc, ngram) first, then roll up — both aggs partial map-side
+    per_doc = (docs.select(F.col(id_col).alias("__d"),
+                           F.explode(ng).alias("s"))
+               .groupBy("__d", "s").agg(F.count(F.lit(1)).alias("c")))
+    return (per_doc.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("c").alias("occurrences"))
+            .filter(F.col("n_docs") >= min_docs)
+            .orderBy(F.desc("occurrences"), F.desc("n_docs"), F.col("s"))
+            .limit(k)
+            .select(F.col("s").alias("ngram"), "n_docs", "occurrences"))
+
+
 def contaminated_docs(
     docs: DataFrame,
     benchmark: DataFrame,
