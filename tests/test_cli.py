@@ -138,3 +138,17 @@ class TestJdbcContract:
         monkeypatch.setattr(DataFrameReader, "jdbc", boom)
         with pytest.raises(SourceError, match="driver jar"):
             read_source(spark, "mysql://h/db", table="t")
+
+
+class TestConnAlias:
+    def test_conn_flag_equivalent_to_positional(self):
+        p = run_cli("--cpus", "4", "check",
+                    "--conn", "/root/testdata/sf0.001/documents.parquet",
+                    "--rule", "not_null(text)", "--quiet")
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "1 passed" in p.stdout
+
+    def test_no_source_is_usage_error(self):
+        p = run_cli("check", "--rule", "not_null(text)", timeout=60)
+        assert p.returncode == 2
+        assert "source" in p.stderr

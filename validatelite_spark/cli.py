@@ -152,7 +152,11 @@ def main(argv: Optional[list[str]] = None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_check = sub.add_parser("check", help="run inline/file rules")
-    p_check.add_argument("source")
+    p_check.add_argument("source", nargs="?", default=None)
+    p_check.add_argument("--conn", default=None,
+                         help="source connection string / path (reference "
+                              "`vlite check --conn` spelling; equivalent "
+                              "to the positional source)")
     p_check.add_argument("--rule", action="append", default=[],
                          help="inline rule expression (repeatable)")
     p_check.add_argument("--rules", help="JSON rules file")
@@ -184,6 +188,11 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     # parse rules BEFORE starting a session: usage errors exit 2 fast
     if args.command == "check":
+        args.source = args.source or args.conn
+        if not args.source:
+            print("usage error: give a source path or --conn",
+                  file=sys.stderr)
+            return 2
         from validatelite_spark.core.rule_parser import (
             RuleParseError,
             load_rules_file,
