@@ -188,3 +188,22 @@ class TestKeySkewReport:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "TakeOrderedAndProject" in plan
         assert "Exchange rangepartitioning" not in plan
+
+
+class TestQuantileFilterApprox:
+    def test_approx_variant_bounded_memory_path(self, spark):
+        """approx=True must use the Greenwald-Khanna sketch (bounded
+        reducer memory — the 100 TB path) and agree with exact on a
+        distribution where the sketch at this accuracy is exact."""
+        from validatelite_spark.operators.sampling import quantile_filter
+        df = spark.createDataFrame(
+            [("g", i, i % 101) for i in range(5000)],
+            "g string, k long, v long")
+        exact = sorted((r["k"]) for r in quantile_filter(
+            df, "v", "g", 0.9).collect())
+        approx = sorted((r["k"]) for r in quantile_filter(
+            df, "v", "g", 0.9, approx=True).collect())
+        assert approx == exact
+        plan = (quantile_filter(df, "v", "g", 0.9, approx=True)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "approx_percentile" in plan

@@ -160,6 +160,8 @@ def quantile_filter(
     q: float,
     keep: str = "ge",
     round_to: int = 4,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Adaptive per-group threshold filter: keep rows whose ``value_col``
     is >= (``keep='ge'``) or <= (``'le'``) their group's exact
@@ -167,18 +169,28 @@ def quantile_filter(
     drop the top X% by perplexity PER LANGUAGE" primitive (fixed global
     thresholds misfire when score distributions differ per group).
 
-    Physical shape: one aggregate computes every group's quantile (JVM
-    ``percentile``, partial-agg map-side; group count is tiny), the
+    Physical shape: one aggregate computes every group's quantile, the
     per-group thresholds broadcast-join back, and the filter stays a
     pure Column predicate on the scan side. Thresholds are rounded to
     ``round_to`` (+1e-9 tie-break) so the comparison is reproducible in
     any engine (DuckDB ``quantile_cont`` uses the same interpolation as
-    Spark ``percentile``)."""
+    Spark ``percentile``).
+
+    ``approx``: exact ``percentile`` buffers EVERY group value in the
+    final aggregation buffer — O(group size) reducer memory, an OOM
+    path when one language is most of a 100 TB corpus. ``approx=True``
+    switches to ``approx_percentile`` (Greenwald-Khanna sketch, memory
+    bounded by ``approx_accuracy`` regardless of group size) — the
+    production default at scale; the exact variant stays the
+    test-scale/oracle anchor (the sketch is engine-specific, so only
+    the exact path is DuckDB-verifiable)."""
     if keep not in ("ge", "le"):
         raise ValueError("keep must be 'ge' or 'le'")
+    pct = (F.approx_percentile(value_col, F.lit(q),
+                               F.lit(approx_accuracy)) if approx
+           else F.percentile(value_col, F.lit(q)))
     th = (df.groupBy(by)
-          .agg(F.round(F.percentile(value_col, F.lit(q)) + 1e-9, round_to)
-               .alias("__th")))
+          .agg(F.round(pct + 1e-9, round_to).alias("__th")))
     joined = df.join(F.broadcast(th), by)
     pred = (F.col(value_col) >= F.col("__th") if keep == "ge"
             else F.col(value_col) <= F.col("__th"))
