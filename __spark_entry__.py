@@ -805,6 +805,42 @@ def _q_time_rollup(spark, sf_dir):
                        granularities=("hour", "day", "month"))
 
 
+def _q_curation(spark, sf_dir):
+    # the composed end-to-end curation job (pipeline/curation.py):
+    # quality filter (NOT_NULL+GOPHER+LANG_ID keep) → exact dedup
+    # (normalized-fingerprint, min-id representative) → per-lang token
+    # budget (two-phase prefix sum) — ONE lazy Catalyst plan, whole
+    # chain replayed in the DuckDB oracle below.
+    from validatelite_spark.pipeline.curation import curate
+    docs = _read(spark, sf_dir, "documents")
+    sel = curate(spark, docs, token_budget=3000, allowed_langs=("en",))
+    return sel.select("doc_id", "lang", "n_chars")
+
+
+def _curation_oracle() -> str:
+    t = "text"
+    keep = (f"({t} IS NOT NULL AND NOT {_d_gopher_fail(t)} "
+            f"AND {_d_lang_id(t)} = 'en')")
+    return f"""
+        WITH kept AS (
+          SELECT doc_id, lang, n_chars, text FROM documents WHERE {keep}
+        ), uniq AS (
+          SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY {_d_fingerprint(t)}
+                                      ORDER BY doc_id) AS rn
+            FROM kept) WHERE rn = 1
+        ), running AS (
+          SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_chars AS pre
+          FROM uniq
+        )
+        SELECT doc_id, lang, n_chars FROM running WHERE pre < 3000"""
+
+
 def _q_top_ngrams(spark, sf_dir):
     # boilerplate mining (operators/repetition.py top_ngrams): hottest
     # corpus trigrams by occurrences — the blocklist feed. Top-k via
@@ -1063,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": _q_quality_quantiles,
         "key_skew": _q_key_skew,
         "top_ngrams": _q_top_ngrams,
+        "curation_end_to_end": _q_curation,
     }
 
 
@@ -1443,5 +1480,6 @@ LIMIT 25
     # IVF with n_probe == n_centroids is exhaustive → same oracle
     out["ann_ivf"] = out["ann_bruteforce"]
     out["ann_ivf_index"] = out["ann_bruteforce"]
+    out["curation_end_to_end"] = _curation_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

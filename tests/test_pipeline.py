@@ -280,3 +280,44 @@ class TestCheckpoint:
         b = (spark.read.parquet(single).select("url", "keep", "text_scrubbed")
              .orderBy("url", "text_scrubbed").collect())
         assert a == b
+
+
+class TestCuration:
+    def test_composed_job_stages_and_determinism(self, spark, sf_dir):
+        """curate = keep-filter → exact-dedup → token budget, one lazy
+        plan; result invariant under input repartitioning."""
+        from validatelite_spark.pipeline.curation import curate
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sel = curate(spark, docs, token_budget=2000)
+        rows = sel.collect()
+        assert rows, "curation selected nothing"
+        # stage 1: every selected doc passes curate's keep rules
+        # (NOT_NULL + GOPHER + LANG_ID — not the default set, which
+        # additionally applies perplexity)
+        from validatelite_spark.core.rules import (Rule, RuleType,
+                                                   SeverityLevel)
+        from validatelite_spark.pipeline.quality import (PipelineConfig,
+                                                         QualityPipeline)
+        rules = [
+            Rule(RuleType.NOT_NULL, "text", name="nn",
+                 severity=SeverityLevel.CRITICAL),
+            Rule(RuleType.GOPHER, "text", name="go",
+                 severity=SeverityLevel.HIGH),
+            Rule(RuleType.LANG_ID, "text", {"allowed_langs": ["en"]},
+                 name="li", severity=SeverityLevel.HIGH),
+        ]
+        ann = QualityPipeline(spark, PipelineConfig(), rules).annotate(docs)
+        kept_ids = {r["doc_id"] for r in
+                    ann.filter("keep").select("doc_id").collect()}
+        assert {r["doc_id"] for r in rows} <= kept_ids
+        # stage 3: per-lang token totals end at/just past the budget
+        import collections
+        by_lang = collections.defaultdict(list)
+        for r in rows:
+            by_lang[r["lang"]].append(r["n_chars"])
+        for lang, chars in by_lang.items():
+            assert sum(chars) - max(chars) < 2000, (lang, sum(chars))
+        # determinism under repartitioning
+        again = sorted((r["doc_id"]) for r in curate(
+            spark, docs.repartition(7), token_budget=2000).collect())
+        assert again == sorted(r["doc_id"] for r in rows)

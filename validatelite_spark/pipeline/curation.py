@@ -1,0 +1,66 @@
+"""End-to-end corpus curation — the composed job a training-data team
+actually runs, as ONE lazy DataFrame plan.
+
+Stage order (the standard web-pipeline sequence):
+
+1. **quality filter** — the rule engine's keep decision
+   (``QualityPipeline.annotate``: NOT_NULL + GOPHER + LANG_ID compiled
+   predicates, one projection);
+2. **exact dedup** — normalized-fingerprint, min-id representative
+   (``operators/dedup.exact_dedup``);
+3. **token budget** — per-language deterministic selection up to a
+   budget (``operators/sampling.token_budget_filter``, two-phase
+   prefix sum).
+
+Because every stage is a pure DataFrame transformation, the composition
+is ONE Catalyst plan: the quality predicates evaluate in the scan
+projection, the dedup shuffle keys on the md5 fingerprint, and the
+budget's windows partition by (lang, bucket) — no materialization
+between stages unless the caller persists. The whole chain is
+DuckDB-verifiable (driver query ``curation_end_to_end``): keep
+predicate, fingerprint dedup, and running-sum cut replayed in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from validatelite_spark.core.rules import Rule, RuleType, SeverityLevel
+from validatelite_spark.operators.dedup import exact_dedup
+from validatelite_spark.operators.sampling import token_budget_filter
+from validatelite_spark.pipeline.quality import (PipelineConfig,
+                                                 QualityPipeline)
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    lang_col: str = "lang",
+    token_col: str = "n_chars",
+    allowed_langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Quality-filter → exact-dedup → per-``lang_col`` token budget.
+
+    Returns the selected documents (original columns). Deterministic at
+    any partitioning/cluster size: the keep decision is a pure predicate,
+    dedup keeps the min key per fingerprint, and budget selection orders
+    by (token_col, key_col)."""
+    cfg = PipelineConfig(allowed_langs=allowed_langs, text_column=text_col)
+    rules = [
+        Rule(RuleType.NOT_NULL, text_col, name=f"not_null_{text_col}",
+             severity=SeverityLevel.CRITICAL),
+        Rule(RuleType.GOPHER, text_col, name=f"gopher_{text_col}",
+             severity=SeverityLevel.HIGH),
+        Rule(RuleType.LANG_ID, text_col,
+             {"allowed_langs": list(allowed_langs)},
+             name=f"lang_id_{text_col}", severity=SeverityLevel.HIGH),
+    ]
+    ann = QualityPipeline(spark, cfg, rules).annotate(docs)
+    kept = ann.filter("keep").select(*docs.columns)
+    uniq = exact_dedup(kept, text_col, key_col)
+    return token_budget_filter(uniq, token_budget, token_col,
+                               by=lang_col, order_col=token_col,
+                               key_col=key_col)
