@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "time_rollup_events",
     "quality_quantiles",
     "ann_ivf_index",
+    "top_ngrams",
+    "key_skew",
+    "curation_end_to_end",
 ]
 
 

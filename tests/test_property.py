@@ -182,3 +182,29 @@ class TestCodecProperties:
         out = resize_nearest(arr, oh, ow)
         assert out.shape == (oh, ow)
         assert np.isin(out, arr).all()  # nearest-neighbor: no new values
+
+
+class TestExtractionProperties:
+    @given(st.binary(max_size=500))
+    @settings(max_examples=200, deadline=None)
+    def test_extractor_total_on_arbitrary_bytes(self, blob):
+        from validatelite_spark.functions.extraction import (
+            extract_text_bytes)
+        out = extract_text_bytes(blob)
+        assert out is None or isinstance(out, str)
+
+    @given(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters="\n\r"),
+        min_size=1, max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_escape_embed_extract_roundtrip(self, text):
+        """The generator's escaping composed with the extractor is the
+        identity on any newline-free text — the byte-identity invariant,
+        property-tested beyond the planted page classes."""
+        from validatelite_spark.functions.extraction import (
+            extract_text_bytes)
+        esc = (text.replace("&", "&amp;").replace("<", "&lt;")
+               .replace(">", "&gt;"))
+        html = f"<html><body><p>{esc}</p></body></html>"
+        assert extract_text_bytes(html.encode()) == text
