@@ -322,9 +322,15 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    # rows_per_band=2 (not the 0.7-tuned default 3): at this query's
+    # j=0.5 threshold the b=32/r=3 banding would miss a borderline pair
+    # with prob (1-0.5³)³² ≈ 1.4e-2 vs the exhaustive oracle; r=2 puts
+    # the miss prob at (1-0.25)³² ≈ 1e-4 — recall margin the oracle
+    # comparison needs on ANY corpus, not just the planted high-j dups.
     from validatelite_spark.operators.dedup import minhash_lsh_pairs
     df = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(df, "text", "doc_id", n=3, threshold=0.5)
+    return minhash_lsh_pairs(df, "text", "doc_id", n=3, threshold=0.5,
+                             rows_per_band=2)
 
 
 def _q_simhash(spark, sf_dir):
@@ -948,7 +954,9 @@ def _q_incremental_dedup(spark, sf_dir):
     is_old = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/vlite_minhash_index_{tag}"
-    minhash_index_write(docs.filter(is_old), path)
+    # rows_per_band=2 for recall margin at the j=0.5 threshold (see
+    # _q_minhash_lsh — same math, same exhaustive-oracle exposure)
+    minhash_index_write(docs.filter(is_old), path, rows_per_band=2)
     return incremental_minhash_pairs(docs.filter(~is_old), path,
                                      threshold=0.5)
 

@@ -152,3 +152,31 @@ class TestConnAlias:
         p = run_cli("check", "--rule", "not_null(text)", timeout=60)
         assert p.returncode == 2
         assert "source" in p.stderr
+
+    def test_conn_jdbc_forwards_table(self):
+        """--conn jdbc:... + --table must reach spark.read.jdbc with the
+        table name (the reference's primary invocation). Stubbed driver
+        in a subprocess since no jar ships."""
+        script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql.readwriter import DataFrameReader
+
+def fake_jdbc(self, url, table, **kw):
+    assert url == "jdbc:mysql://host:3306/db", url
+    assert table == "t1", table
+    from validatelite_spark.session import get_spark
+    return get_spark("t", cpus=2).createDataFrame(
+        [("x",), (None,)], "c string")
+
+DataFrameReader.jdbc = fake_jdbc
+from validatelite_spark.cli import main
+rc = main(["--cpus", "2", "check", "--conn", "mysql://host:3306/db",
+           "--table", "t1", "--rule", "not_null(c)", "--quiet"])
+print("RC", rc)
+"""
+        p = subprocess.run([sys.executable, "-c", script],
+                           capture_output=True, text=True, timeout=300,
+                           cwd="/root/repo")
+        assert "RC 1" in p.stdout, (p.stdout, p.stderr[-2000:])
+        assert "0 passed, 1 failed" in p.stdout  # one NULL fails

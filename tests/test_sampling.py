@@ -94,7 +94,7 @@ class TestTokenBudget:
         plan = kept._jdf.queryExecution().executedPlan().toString()
         import re
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-        heavy = [s for s in specs if "lang" in s and "n#" in s]
+        heavy = [s for s in specs if "__g" in s and "n#" in s]
         assert heavy, f"no cumsum window found in plan:\n{plan}"
         assert all("__bkt" in s for s in heavy), (
             f"cumsum window partitions by group alone: {heavy}")
@@ -110,6 +110,37 @@ class TestTokenBudget:
                             F.lit(15)).alias("b"))
             .distinct().count())
         assert n_buckets_used > 1
+
+
+class TestTokenBudgetNulls:
+    def test_null_group_and_null_order_match_single_window(self, spark):
+        """NULL group keys must be budgeted as their own group (the
+        equi-join shape would silently DROP them) and NULL order values
+        must sort FIRST like the definitional window (ASC NULLS FIRST)
+        — regression test for the round-3 two-phase rewrite."""
+        from pyspark.sql import Window
+        rows = [("en", 1, 100), ("en", 2, 100),
+                (None, 3, 150), (None, 4, 150), (None, 5, 150)]
+        df = spark.createDataFrame(rows, "g string, doc_id long, n long")
+        got = sorted(r["doc_id"] for r in token_budget_filter(
+            df, 200, "n", "g", key_col="doc_id").collect())
+        # NULL group: docs 3,4 reach 300 ≥ 200 after two; doc 5 pre=300
+        assert got == [1, 2, 3, 4]
+
+        # NULL order_col values: compare against the single-window def
+        rows2 = [("g", i, 10, None if i % 3 == 0 else i * 5)
+                 for i in range(30)]
+        df2 = spark.createDataFrame(
+            rows2, "g string, doc_id long, n long, o long")
+        got2 = sorted(r["doc_id"] for r in token_budget_filter(
+            df2, 60, "n", "g", order_col="o", key_col="doc_id",
+            n_buckets=4).collect())
+        w = (Window.partitionBy("g").orderBy("o", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ref = sorted(r["doc_id"] for r in df2.withColumn(
+            "pre", F.sum("n").over(w) - F.col("n"))
+            .filter(F.col("pre") < 60).collect())
+        assert got2 == ref
 
 
 class TestStratifiedSample:

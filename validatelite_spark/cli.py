@@ -216,8 +216,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     spark = get_spark("vlite-spark-cli", cpus=args.cpus)
     try:
         def _read_main():
+            # forward --table so a JDBC --conn source can actually read
+            # (reader.py requires table=<name>); harmless for file
+            # sources, whose readers ignore unknown options
+            opts = {}
+            if getattr(args, "table", None):
+                opts["table"] = args.table
             try:
-                return read_source(spark, args.source)
+                return read_source(spark, args.source, **opts)
             except SourceError as e:
                 print(f"source error: {e}", file=sys.stderr)
                 return None

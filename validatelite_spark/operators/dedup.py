@@ -289,8 +289,10 @@ def minhash_lsh_pairs(
     Candidates come from same-(band, band-hash) buckets — a join on tiny
     bucket keys instead of raw shingles; each candidate pair is then
     verified with exact Jaccard so the output matches the exhaustive
-    result whenever LSH recall ≈ 1 (b=32, r=3 ⇒ miss prob ≈ 2e-6 at
-    j = 0.7)."""
+    result whenever LSH recall ≈ 1. Tune (bands, rows_per_band) to the
+    threshold: miss prob = (1-j^r)^b — the b=32/r=3 default gives 2e-6
+    at j = 0.7 but a loose 1.4e-2 at j = 0.5; drop to r=2 (1e-4 at
+    j = 0.5) when thresholding that low."""
     # shingles feed BOTH the signature pass and the verification join —
     # cache once (at cluster scale: persist to disk or reuse a staged table)
     t = _shingle_table(df, text_col, key_col, n).cache()
@@ -532,8 +534,7 @@ def dedup_groups(
              .distinct().localCheckpoint())
     labels = (edges.select(F.col("src").alias("v")).distinct()
               .withColumn("label", F.col("v")).localCheckpoint())
-    changed = 0
-    for _ in range(max_iters):
+    def _round(labels):
         msgs = (edges.join(labels.withColumnRenamed("v", "src"), "src")
                 .select(F.col("dst").alias("v"), "label"))
         new = (labels.unionByName(msgs)
@@ -541,17 +542,25 @@ def dedup_groups(
                .localCheckpoint())
         changed = (new.join(labels.withColumnRenamed("label", "old"), "v")
                    .filter(F.col("label") < F.col("old")).count())
-        labels = new
+        return new, changed
+
+    changed = 0
+    for _ in range(max_iters):
+        labels, changed = _round(labels)
         if changed == 0:
             break
     if changed > 0:
-        # graph diameter exceeded max_iters: labels are only partially
-        # propagated → group_ids would silently diverge from true
-        # connected components (ADVICE r2)
-        raise RuntimeError(
-            f"dedup_groups did not converge in {max_iters} iterations "
-            f"({changed} labels still changing); raise max_iters — "
-            "near-dup components are normally diameter 2-3")
+        # the final allowed iteration still changed labels — that can
+        # mean EITHER diameter == max_iters (labels now correct, just
+        # unproven) or diameter > max_iters (labels wrong). One extra
+        # verification round disambiguates before raising (ADVICE r2).
+        labels, changed = _round(labels)
+        if changed > 0:
+            raise RuntimeError(
+                f"dedup_groups did not converge in {max_iters} "
+                f"iterations ({changed} labels still changing); raise "
+                "max_iters — near-dup components are normally "
+                "diameter 2-3")
     return labels.select(F.col("v").alias("doc_id"),
                          F.col("label").alias("group_id"))
 

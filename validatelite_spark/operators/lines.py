@@ -64,8 +64,11 @@ def line_dedup(
              .alias("parts"))
         .select(
             "k",
-            F.concat_ws(join_sep,
-                        F.transform("parts", lambda p: p["line"]))
+            # parts.line = GetArrayStructFields: native elementwise
+            # field extraction, order-preserving — NOT F.transform,
+            # which is CodegenFallback in this corpus-wide projection
+            # (CLAUDE.md rule 3)
+            F.concat_ws(join_sep, F.col("parts.line"))
             .alias("__dedup")))
     out_col = f"{text_col}_dedup"
     return (df.select(key_col,

@@ -258,7 +258,12 @@ def contaminated_docs(
         .distinct()
     )
     if broadcast is None:
-        b_sh = b_sh.cache()  # counted here, reused by the join
+        # auto-gating runs one small-side job at plan-construction time
+        # (the benchmark is the small side by contract; callers that
+        # need full laziness pass broadcast= explicitly). Deliberately
+        # NOT cached: a cached gate count would leak storage memory on
+        # every call, and recomputing the small side once in the join is
+        # cheaper than a permanent cache.
         broadcast = b_sh.count() <= broadcast_threshold
     bench_side = F.broadcast(b_sh) if broadcast else b_sh.hint("merge")
     d_tab = _shingle_table(docs, text_col, id_col, n, arrow=arrow)

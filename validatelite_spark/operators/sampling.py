@@ -91,36 +91,47 @@ def token_budget_filter(
     if key_col:
         intra.append(F.col(key_col))
 
+    # NULL handling must match the definitional single window exactly:
+    # a NULL group key is its own partition (equi-joins would DROP those
+    # rows — join via a coalesced surrogate that cannot collide with
+    # real keys), and NULL order values sort FIRST (Spark ASC NULLS
+    # FIRST) — they get the reserved bucket -1.
+    gk = F.coalesce(F.col(by).cast("string"),
+                    F.lit("\x00__null_group__"))
+    df = df.withColumn("__g", gk)
+
     # phase 0: per-group order_col range (tiny) → broadcast back
-    stats = (df.groupBy(by)
+    stats = (df.groupBy("__g")
              .agg(F.min(order_col).cast("double").alias("__lo"),
                   F.max(order_col).cast("double").alias("__hi")))
     span = F.col("__hi") - F.col("__lo")
-    bucket = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
+    bucket = (
+        F.when(F.col(order_col).isNull(), F.lit(-1))
+        .when(span <= 0, F.lit(0))
+        .otherwise(F.least(
             F.floor((F.col(order_col).cast("double") - F.col("__lo"))
                     / span * n_buckets).cast("int"),
-            F.lit(n_buckets - 1)))
-    b = (df.join(F.broadcast(stats), by)
+            F.lit(n_buckets - 1))))
+    b = (df.join(F.broadcast(stats), "__g")
          .withColumn("__bkt", bucket).drop("__lo", "__hi"))
 
     # phase 1: per-(group, bucket) token sums → cumulative offsets.
     # bsums has ≤ |groups| × n_buckets rows, so this window is trivial.
-    bsums = b.groupBy(by, "__bkt").agg(F.sum(token_col).alias("__bsum"))
-    wo = (Window.partitionBy(by).orderBy("__bkt")
+    bsums = b.groupBy("__g", "__bkt").agg(F.sum(token_col).alias("__bsum"))
+    wo = (Window.partitionBy("__g").orderBy("__bkt")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offsets = bsums.select(
-        by, "__bkt",
+        "__g", "__bkt",
         (F.sum("__bsum").over(wo) - F.col("__bsum")).alias("__off"))
 
     # phase 2: intra-bucket cumsum + offset = global pre-doc total
-    w = (Window.partitionBy(by, "__bkt").orderBy(*intra)
+    w = (Window.partitionBy("__g", "__bkt").orderBy(*intra)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     pre = (F.col("__off") + F.sum(token_col).over(w) - F.col(token_col))
-    return (b.join(F.broadcast(offsets), [by, "__bkt"])
+    return (b.join(F.broadcast(offsets), ["__g", "__bkt"])
             .withColumn("__pre", pre)
             .filter(F.col("__pre") < budget)
-            .drop("__pre", "__bkt", "__off"))
+            .drop("__pre", "__bkt", "__off", "__g"))
 
 
 def stratified_sample(

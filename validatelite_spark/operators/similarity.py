@@ -495,11 +495,14 @@ def ivf_index_probe(
         cents = json.load(fh)
     n_probe = min(n_probe, len(cents))
 
+    # cached: the probe projection (pandas-UDF matmul + norms) feeds
+    # BOTH the bucket collect below and the scoring join — uncached it
+    # would evaluate twice
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
         F.explode(_probe_udf(cents, n_probe)(F.col(vec_col)))
-        .alias("bucket"))
+        .alias("bucket")).cache()
     buckets = sorted({r["bucket"] for r in
                       q.select("bucket").distinct().collect()})
 
