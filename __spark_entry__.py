@@ -944,8 +944,10 @@ def _q_incremental_dedup(spark, sf_dir):
     # PERSISTED corpus index (operators/dedup.py minhash_index_write /
     # incremental_minhash_pairs) — only the new batch is shingled.
     # Corpus = docs with md5(doc_id) first hex digit 0-7, batch = 8-f
-    # (engine-portable split). LSH recall ≈ 1 at b=32/r=3 → the
-    # exhaustive cross-Jaccard SQL is the oracle, like minhash_lsh_pairs.
+    # (engine-portable split). The index is written with b=32/r=2
+    # banding (see the call below) so LSH recall ≈ 1 at this query's
+    # j=0.5 threshold → the exhaustive cross-Jaccard SQL is the oracle,
+    # like minhash_lsh_pairs.
     import hashlib
     import tempfile
     from validatelite_spark.operators.dedup import (

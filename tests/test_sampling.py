@@ -94,7 +94,7 @@ class TestTokenBudget:
         plan = kept._jdf.queryExecution().executedPlan().toString()
         import re
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-        heavy = [s for s in specs if "__g" in s and "n#" in s]
+        heavy = [s for s in specs if "lang" in s and "n#" in s]
         assert heavy, f"no cumsum window found in plan:\n{plan}"
         assert all("__bkt" in s for s in heavy), (
             f"cumsum window partitions by group alone: {heavy}")

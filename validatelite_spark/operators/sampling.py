@@ -92,16 +92,14 @@ def token_budget_filter(
         intra.append(F.col(key_col))
 
     # NULL handling must match the definitional single window exactly:
-    # a NULL group key is its own partition (equi-joins would DROP those
-    # rows — join via a coalesced surrogate that cannot collide with
-    # real keys), and NULL order values sort FIRST (Spark ASC NULLS
-    # FIRST) — they get the reserved bucket -1.
-    gk = F.coalesce(F.col(by).cast("string"),
-                    F.lit("\x00__null_group__"))
-    df = df.withColumn("__g", gk)
-
+    # a NULL group key is its own partition, so the broadcast joins use
+    # NULL-SAFE equality on the NATIVE key (a stringified surrogate
+    # would split groups the window merges — e.g. -0.0 vs 0.0 — or
+    # collide with a real key equal to the sentinel), and NULL order
+    # values sort FIRST (Spark ASC NULLS FIRST) — they get the reserved
+    # bucket -1.
     # phase 0: per-group order_col range (tiny) → broadcast back
-    stats = (df.groupBy("__g")
+    stats = (df.groupBy(F.col(by).alias("__gk"))
              .agg(F.min(order_col).cast("double").alias("__lo"),
                   F.max(order_col).cast("double").alias("__hi")))
     span = F.col("__hi") - F.col("__lo")
@@ -112,26 +110,30 @@ def token_budget_filter(
             F.floor((F.col(order_col).cast("double") - F.col("__lo"))
                     / span * n_buckets).cast("int"),
             F.lit(n_buckets - 1))))
-    b = (df.join(F.broadcast(stats), "__g")
-         .withColumn("__bkt", bucket).drop("__lo", "__hi"))
+    b = (df.join(F.broadcast(stats),
+                 F.col(by).eqNullSafe(F.col("__gk")))
+         .withColumn("__bkt", bucket).drop("__gk", "__lo", "__hi"))
 
     # phase 1: per-(group, bucket) token sums → cumulative offsets.
     # bsums has ≤ |groups| × n_buckets rows, so this window is trivial.
-    bsums = b.groupBy("__g", "__bkt").agg(F.sum(token_col).alias("__bsum"))
-    wo = (Window.partitionBy("__g").orderBy("__bkt")
+    bsums = (b.groupBy(F.col(by).alias("__gk"), F.col("__bkt"))
+             .agg(F.sum(token_col).alias("__bsum")))
+    wo = (Window.partitionBy("__gk").orderBy("__bkt")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offsets = bsums.select(
-        "__g", "__bkt",
+        "__gk", F.col("__bkt").alias("__obkt"),
         (F.sum("__bsum").over(wo) - F.col("__bsum")).alias("__off"))
 
     # phase 2: intra-bucket cumsum + offset = global pre-doc total
-    w = (Window.partitionBy("__g", "__bkt").orderBy(*intra)
+    w = (Window.partitionBy(by, "__bkt").orderBy(*intra)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     pre = (F.col("__off") + F.sum(token_col).over(w) - F.col(token_col))
-    return (b.join(F.broadcast(offsets), ["__g", "__bkt"])
+    return (b.join(F.broadcast(offsets),
+                   F.col(by).eqNullSafe(F.col("__gk"))
+                   & (F.col("__bkt") == F.col("__obkt")))
             .withColumn("__pre", pre)
             .filter(F.col("__pre") < budget)
-            .drop("__pre", "__bkt", "__off", "__g"))
+            .drop("__pre", "__bkt", "__obkt", "__off", "__gk"))
 
 
 def stratified_sample(

@@ -495,16 +495,19 @@ def ivf_index_probe(
         cents = json.load(fh)
     n_probe = min(n_probe, len(cents))
 
-    # cached: the probe projection (pandas-UDF matmul + norms) feeds
-    # BOTH the bucket collect below and the scoring join — uncached it
-    # would evaluate twice
-    q = queries.select(
+    # the probe projection (pandas-UDF matmul + norms) feeds BOTH the
+    # bucket list and the scoring join; the query side is small by
+    # contract, so materialize it ONCE driver-side and rebuild — no
+    # second UDF evaluation and, unlike .cache(), nothing pinned in
+    # executor storage for the session lifetime
+    q_plan = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
         F.explode(_probe_udf(cents, n_probe)(F.col(vec_col)))
-        .alias("bucket")).cache()
-    buckets = sorted({r["bucket"] for r in
-                      q.select("bucket").distinct().collect()})
+        .alias("bucket"))
+    q_rows = q_plan.collect()
+    q = spark.createDataFrame(q_rows, q_plan.schema)
+    buckets = sorted({r["bucket"] for r in q_rows})
 
     c = (spark.read.parquet(path)
          .filter(F.col("bucket").isin(buckets))
