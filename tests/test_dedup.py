@@ -156,6 +156,22 @@ class TestIncrementalMinhash:
                 if a in (0, 3) and b in (1, 2, 4)}
         assert got2 == want and (0, 1) in got2 and (3, 4) in got2
 
+    def test_append_equals_index_built_whole(self, docs, tmp_path):
+        """write(A) + append(B) must probe identically to write(A∪B) —
+        the maintenance path a rolling crawl pipeline uses."""
+        p1 = str(tmp_path / "mh_app")
+        dedup.minhash_index_write(docs.filter("doc_id <= 1"), p1)
+        dedup.minhash_index_append(docs.filter("doc_id IN (2, 3)"), p1)
+        got = sorted(map(tuple, dedup.incremental_minhash_pairs(
+            docs.filter("doc_id = 4"), p1, threshold=0.5).collect()))
+        p2 = str(tmp_path / "mh_whole")
+        dedup.minhash_index_write(docs.filter("doc_id <= 3"), p2)
+        want = sorted(map(tuple, dedup.incremental_minhash_pairs(
+            docs.filter("doc_id = 4"), p2, threshold=0.5).collect()))
+        assert got == want
+        # and the appended near-dup is actually found: 4 pairs with 3
+        assert any(a == 3 for a, _, _ in got)
+
     def test_params_sidecar_respected(self, docs, tmp_path):
         path = str(tmp_path / "mh_n4")
         dedup.minhash_index_write(docs.filter("doc_id <= 2"), path, n=4,

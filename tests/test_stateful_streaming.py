@@ -38,3 +38,51 @@ class TestStatefulDedup:
             assert second == first, "cross-batch state failed to dedup"
         finally:
             q.stop()
+
+
+class TestIndexDedupStream:
+    def test_batches_dedup_against_growing_index(self, spark, tmp_path):
+        """Rolling-crawl shape: batch 2 replays batch 1's docs (plus one
+        new) — the replayed docs must be dropped because batch 1's
+        survivors were folded into the index."""
+        from validatelite_spark.operators.dedup import minhash_index_write
+        from validatelite_spark.streaming.index_dedup import (
+            start_index_dedup_stream)
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the green forest near the river bank")
+        other = ("completely different words about cooking pasta with "
+                 "tomato sauce garlic basil and olive oil at home")
+        third = ("a third unrelated document that talks about sailing "
+                 "boats across the windy northern sea in late autumn")
+
+        idx = str(tmp_path / "index")
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # seed index with doc 0 (base text)
+        seed = spark.createDataFrame([(0, base)], "doc_id long, text string")
+        minhash_index_write(seed, idx)
+
+        schema = "doc_id long, text string"
+        # batch 1: near-dup of the seed (1) + a new doc (2)
+        spark.createDataFrame([(1, base + " today"), (2, other)], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(seed.schema).parquet(src)
+        q = start_index_dedup_stream(stream, idx, out, ckpt,
+                                     threshold=0.5)
+        try:
+            q.processAllAvailable()
+            kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+            assert kept1 == {2}  # 1 near-dups the seed; 2 is new
+
+            # batch 2: replay doc 2's text (3) + genuinely new (4)
+            spark.createDataFrame([(3, other + " again"), (4, third)],
+                                  schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+            # 3 near-dups doc 2 (now IN the index); 4 survives
+            assert kept2 == {2, 4}
+        finally:
+            q.stop()

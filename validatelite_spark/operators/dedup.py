@@ -361,6 +361,34 @@ def minhash_index_write(
     t.unpersist()
 
 
+def minhash_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> None:
+    """Fold a new batch into an existing ``minhash_index_write`` index —
+    the maintenance step after incremental dedup keeps (part of) a
+    batch: shingle ONLY the new docs with the index's pinned params and
+    append their band hashes / shingles / sizes. Append-only parquet
+    writes — no rewrite of the existing index files, so the cost is
+    O(new batch) regardless of corpus size. The caller is responsible
+    for passing only docs that should join the corpus (i.e. after
+    ``keep_representatives``/dedup)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_minhash_params.json")) as fh:
+        p = json.load(fh)
+    t = _shingle_table(new_docs, text_col, key_col, p["n"]).cache()
+    ex = t.select("k", F.explode("sh").alias("s"))
+    _band_table(ex, p["bands"], p["rows_per_band"]).write.mode(
+        "append").parquet(f"{path}/bands")
+    ex.write.mode("append").parquet(f"{path}/shingles")
+    t.select("k", "sz").write.mode("append").parquet(f"{path}/docs")
+    t.unpersist()
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     path: str,
