@@ -811,6 +811,27 @@ def _q_time_rollup(spark, sf_dir):
                        granularities=("hour", "day", "month"))
 
 
+def _q_temperature_sample(spark, sf_dir):
+    # XLM-R/mT5 temperature mixing (operators/sampling.py): stratum
+    # share ∝ count^alpha — upweights low-resource languages; exact row
+    # set verified (md5 buckets + double-rounded thresholds are
+    # engine-portable)
+    from validatelite_spark.operators.sampling import temperature_sample
+    docs = _read(spark, sf_dir, "documents")
+    return (temperature_sample(docs, total_budget=300, strata_col="lang",
+                               key_col="doc_id", alpha=0.5, seed=13)
+            .select("doc_id", "lang"))
+
+
+def _q_cap_per_source(spark, sf_dir):
+    # RefinedWeb-style per-domain quota: at most 5 docs per source,
+    # longest-first (operators/sampling.py cap_per_group)
+    from validatelite_spark.operators.sampling import cap_per_group
+    docs = _read(spark, sf_dir, "documents")
+    return (cap_per_group(docs, "source", 5, "n_chars", "doc_id")
+            .select("doc_id", "source", "n_chars"))
+
+
 def _q_curation(spark, sf_dir):
     # the composed end-to-end curation job (pipeline/curation.py):
     # quality filter (NOT_NULL+GOPHER+LANG_ID keep) → exact dedup
@@ -1110,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": _q_key_skew,
         "top_ngrams": _q_top_ngrams,
         "curation_end_to_end": _q_curation,
+        "temperature_sample": _q_temperature_sample,
+        "cap_per_source": _q_cap_per_source,
     }
 
 
@@ -1375,6 +1398,27 @@ HAVING count(*) >= 2
 ORDER BY occurrences DESC, n_docs DESC, ngram
 LIMIT 25
 """.replace("{toks}", _d_tokens("text")),
+        "temperature_sample": """
+            WITH c AS (SELECT lang AS s, count(*) AS c
+                       FROM documents GROUP BY 1),
+            z AS (SELECT sum(pow(c, 0.5)) AS z FROM c),
+            t AS (SELECT s,
+                         CAST(round(round(least(1.0,
+                              300 * pow(c, 0.5) / z / c) + 1e-9, 6)
+                              * 1000000, 0) AS BIGINT) AS thr
+                  FROM c, z)
+            SELECT d.doc_id, d.lang FROM documents d
+            JOIN t ON d.lang IS NOT DISTINCT FROM t.s
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                           || ':13'), 1, 8)) AS BIGINT)
+                  % 1000000 < t.thr""",
+        "cap_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id)
+                     AS rn
+              FROM documents) WHERE rn <= 5""",
         "key_skew": """
             WITH c AS (SELECT user_id AS key, count(*) AS n
                        FROM events GROUP BY 1),

@@ -238,3 +238,56 @@ class TestQuantileFilterApprox:
         plan = (quantile_filter(df, "v", "g", 0.9, approx=True)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "approx_percentile" in plan
+
+
+class TestTemperatureSample:
+    def test_alpha_flattens_toward_uniform(self, spark):
+        from validatelite_spark.operators.sampling import temperature_sample
+        # 900 en / 90 de / 10 zh — heavily imbalanced
+        rows = ([(i, "en") for i in range(900)]
+                + [(1000 + i, "de") for i in range(90)]
+                + [(2000 + i, "zh") for i in range(10)])
+        df = spark.createDataFrame(rows, "k long, lang string")
+
+        def shares(alpha):
+            out = temperature_sample(df, 300, "lang", "k", alpha=alpha)
+            got = {r["lang"]: r["n"] for r in out.groupBy("lang")
+                   .agg(F.count("*").alias("n")).collect()}
+            return got
+
+        nat = shares(1.0)     # natural proportions
+        flat = shares(0.3)    # strongly flattened
+        # alpha=1: en dominates ~90%; alpha=0.3: low-resource strata
+        # take a much larger relative share (zh keeps everything)
+        assert nat.get("en", 0) > 8 * nat.get("de", 1)
+        assert flat.get("zh", 0) == 10          # frac capped at 1.0
+        assert flat.get("en", 0) < nat.get("en", 0)
+        assert flat.get("de", 0) >= nat.get("de", 0)
+
+    def test_deterministic_and_validates(self, spark):
+        from validatelite_spark.operators.sampling import temperature_sample
+        df = spark.createDataFrame(
+            [(i, ["a", "b"][i % 2]) for i in range(200)],
+            "k long, lang string")
+        a = sorted(r["k"] for r in temperature_sample(
+            df, 50, "lang", "k").collect())
+        b = sorted(r["k"] for r in temperature_sample(
+            df.repartition(9), 50, "lang", "k").collect())
+        assert a == b
+        with pytest.raises(ValueError):
+            temperature_sample(df, 50, "lang", "k", alpha=0.0)
+
+
+class TestCapPerGroup:
+    def test_caps_best_first(self, spark):
+        from validatelite_spark.operators.sampling import cap_per_group
+        rows = [("big", i, i) for i in range(20)]
+        rows += [("small", 100, 5)]
+        df = spark.createDataFrame(rows, "g string, k long, q long")
+        got = cap_per_group(df, "g", 3, "q", "k").collect()
+        big = sorted(r["q"] for r in got if r["g"] == "big")
+        assert big == [17, 18, 19]              # top-3 by q desc
+        assert sum(1 for r in got if r["g"] == "small") == 1
+        asc = cap_per_group(df, "g", 2, "q", "k", descending=False)
+        assert sorted(r["q"] for r in asc.collect()
+                      if r["g"] == "big") == [0, 1]

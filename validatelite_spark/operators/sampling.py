@@ -208,3 +208,79 @@ def quantile_filter(
     pred = (F.col(value_col) >= F.col("__th") if keep == "ge"
             else F.col(value_col) <= F.col("__th"))
     return joined.filter(pred).drop("__th")
+
+
+def temperature_sample(
+    df: DataFrame,
+    total_budget: int,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the XLM-R / mT5 multilingual
+    rule): stratum ``l`` with ``c_l`` docs gets a target share
+    ``c_l^alpha / sum_k c_k^alpha`` of ``total_budget`` docs —
+    ``alpha=1`` keeps natural proportions, ``alpha→0`` flattens toward
+    uniform, upweighting low-resource strata. Per-stratum keep fraction
+    = min(1, target / c_l), applied with the same deterministic md5
+    bucket arithmetic as ``hash_sample`` (reproducible at any cluster
+    size; engine-portable, so a SQL oracle can replay the EXACT row
+    set).
+
+    Physical shape: one partial-agg count per stratum (tiny), fractions
+    derived on that tiny table, broadcast back, pure filter on the scan
+    side — no shuffle of the corpus. Fractions are rounded to
+    ``round_to`` (+1e-9) before thresholding so cross-engine pow()
+    1-ulp differences cannot flip a keep decision."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = (df.groupBy(F.col(strata_col).alias("__s"))
+              .agg(F.count(F.lit(1)).alias("__c")))
+    tot = counts.agg(F.sum(F.pow(F.col("__c"), F.lit(alpha)))
+                     .alias("__z"))
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(total_budget)) * F.pow(F.col("__c"), F.lit(alpha))
+        / F.col("__z") / F.col("__c"))
+    # double round: the inner round pins the fraction at round_to
+    # decimals; the outer snaps fraction*1e6 to the nearest integer so
+    # float-representation dust (0.123456*1e6 = 123455.9999…) cannot
+    # truncate differently across engines
+    thresholds = (counts.crossJoin(F.broadcast(tot))
+                  .select("__s",
+                          F.round(F.round(frac + 1e-9, round_to)
+                                  * _DENOM, 0).cast("long")
+                          .alias("__thr")))
+    bucket = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
+        16, 10).cast("long") % _DENOM
+    return (df.join(F.broadcast(thresholds),
+                    F.col(strata_col).eqNullSafe(F.col("__s")))
+            .filter(bucket < F.col("__thr"))
+            .drop("__s", "__thr"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    by: str,
+    n: int,
+    order_col: str,
+    key_col: str = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``by`` group, best-first by
+    ``order_col`` (ties broken by ``key_col``) — the RefinedWeb-style
+    per-domain quota that stops any single site from dominating the
+    corpus. One window row_number per group; group cardinality is the
+    parallelism (domains are numerous at web scale — no hot-partition
+    hazard; for a pathological single-group input use
+    ``token_budget_filter``'s bucketed shape instead)."""
+    order = [F.desc(order_col) if descending else F.col(order_col)]
+    if key_col:
+        order.append(F.col(key_col))
+    w = Window.partitionBy(by).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn"))
