@@ -777,6 +777,28 @@ def _q_asof_purchase_click(spark, sf_dir):
         .alias("gap_sec"))
 
 
+def _q_asof_forward(spark, sf_dir):
+    # forward as-of: each purchase matched to the same user's NEXT click
+    # at/after it (operators/joins.py direction="forward" — the reverse-
+    # scan running-last carry). Oracle: DuckDB native ASOF with <=.
+    from validatelite_spark.operators.joins import asof_join
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = asof_join(purchases, clicks, by="user_id", left_ts="ts",
+                  right_ts="ts", right_prefix="click_",
+                  tiebreak="event_id", direction="forward")
+
+    def _epoch(c):
+        return F.unix_micros(F.col(c).cast("timestamp")) / 1e6
+    return j.select(
+        "event_id", "user_id",
+        F.col("click_event_id"),
+        F.round(_epoch("click_ts") - _epoch("ts") + 1e-9, 4)
+        .alias("wait_sec"))
+
+
 def _q_range_signup_purchase(spark, sf_dir):
     # range join (point-in-interval) without the nested-loop plan:
     # purchases within 2 days after a signup by the same user. Oracle:
@@ -1119,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "dedup_kept_corpus": _q_dedup_kept_corpus,
         "asof_purchase_click": _q_asof_purchase_click,
+        "asof_forward_click": _q_asof_forward,
         "range_signup_purchase": _q_range_signup_purchase,
         "time_rollup_events": _q_time_rollup,
         "hash_sample": _q_hash_sample,
@@ -1314,6 +1337,14 @@ HAVING count(*) >= 1
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "asof_forward_click": """
+            SELECT p.event_id, p.user_id,
+                   c.event_id AS click_event_id,
+                   round(epoch(c.ts) - epoch(p.ts) + 1e-9, 4) AS wait_sec
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts <= c.ts""",
         "range_signup_purchase": """
             SELECT p.event_id, s.event_id AS signup_id, p.user_id,
                    round(epoch(p.ts) - epoch(s.ts) + 1e-9, 4) AS delay_sec

@@ -137,3 +137,61 @@ class TestAsofPlanShape:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan  # window carry-forward, not a join
+
+
+class TestAsofDirections:
+    def _data(self, spark):
+        left = _df(spark, [(1, 9, 10.0), (2, 9, 25.0), (3, 9, 31.0)],
+                   "lid long, k long, ts double")
+        right = _df(spark, [(91, 9, 8.0), (92, 9, 20.0), (93, 9, 30.0)],
+                    "rid long, k long, ts double")
+        return left, right
+
+    def test_forward_takes_earliest_at_or_after(self, spark):
+        left, right = self._data(spark)
+        out = {r["lid"]: r["right_rid"] for r in asof_join(
+            left, right, by="k", direction="forward").collect()}
+        # 10.0 → 20.0; 25.0 → 30.0; 31.0 → nothing after
+        assert out == {1: 92, 2: 93, 3: None}
+
+    def test_forward_equal_ts_inclusive_min_tiebreak(self, spark):
+        left = _df(spark, [(1, 7, 10.0)], "lid long, k long, ts double")
+        right = _df(spark, [(901, 7, 10.0), (902, 7, 10.0)],
+                    "rid long, k long, ts double")
+        got = asof_join(left, right, by="k", tiebreak="rid",
+                        direction="forward").collect()
+        assert got[0]["right_rid"] == 901   # min wins (mirror of backward)
+
+    def test_nearest_picks_closer_and_ties_backward(self, spark):
+        left, right = self._data(spark)
+        out = {r["lid"]: r["right_rid"] for r in asof_join(
+            left, right, by="k", direction="nearest").collect()}
+        # 10.0: back 8.0 (d=2) vs fwd 20.0 (d=10) → 91
+        # 25.0: back 20.0 (d=5) vs fwd 30.0 (d=5) → TIE → backward 92
+        # 31.0: back 30.0 (d=1), no fwd → 93
+        assert out == {1: 91, 2: 92, 3: 93}
+
+    def test_nearest_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+        lpd = pd.DataFrame({"lid": range(60), "k": [i % 3 for i in range(60)],
+                            "ts": [float((i * 17) % 50) for i in range(60)]}
+                           ).sort_values("ts")
+        rpd = pd.DataFrame({"rid": range(100, 140),
+                            "k": [i % 3 for i in range(40)],
+                            "ts": [float((i * 13) % 45) + 0.5
+                                   for i in range(40)]}).sort_values("ts")
+        want = pd.merge_asof(lpd, rpd, on="ts", by="k",
+                             direction="nearest")
+        got = asof_join(spark.createDataFrame(lpd),
+                        spark.createDataFrame(rpd), by="k",
+                        direction="nearest").toPandas()
+        merged = want.merge(got[["lid", "right_rid"]], on="lid")
+        import numpy as np
+        assert ((merged["rid"].fillna(-1))
+                == (merged["right_rid"].fillna(-1))).all()
+
+    def test_bad_direction_raises(self, spark):
+        left, right = self._data(spark)
+        import pytest
+        with pytest.raises(ValueError):
+            asof_join(left, right, by="k", direction="sideways")

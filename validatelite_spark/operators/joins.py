@@ -45,18 +45,32 @@ def asof_join(
     right_prefix: str = "right_",
     tiebreak: str | None = None,
     salt: int = 1,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join (pandas ``merge_asof`` semantics).
+    """As-of join (pandas ``merge_asof`` semantics, all directions).
 
-    Output: every left row + the columns of the latest right row with
-    ``right_ts <= left_ts`` and the same ``by`` key, prefixed with
-    ``right_prefix`` (NULL columns when no right row precedes). At equal
-    timestamps the right row matches (inclusive). ``tiebreak``: a right
-    column ordered ascending to break equal-timestamp ties between
-    right rows deterministically (e.g. an id — the max wins).
+    Output: every left row + the columns of the matched right row with
+    the same ``by`` key, prefixed with ``right_prefix`` (NULL columns
+    when nothing matches). ``direction``:
+
+    - ``"backward"`` (default): latest right with ``right_ts <=
+      left_ts`` — among equal-timestamp rights the MAX ``tiebreak``
+      wins;
+    - ``"forward"``: earliest right with ``right_ts >= left_ts`` —
+      among equal-timestamp rights the MIN ``tiebreak`` wins (the
+      mirror convention);
+    - ``"nearest"``: whichever of the two is closer in time; exact ties
+      go to the backward match (pandas convention).
+
+    All three run on ONE shuffle of |L|+|R| rows: forward is the same
+    running-``last`` carry as backward over the reverse sort order, and
+    nearest evaluates both windows on the same exchange (two sorts, one
+    shuffle). ``tiebreak``: a right column in its native type.
     ``salt``: split each key's window into this many sub-partitions when
     one key dominates the input (see module docstring) — results are
     identical for any salt value."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
     rcols = right.columns
     # tiebreak sorts in its NATIVE type: a cast (e.g. string id → long)
@@ -93,12 +107,35 @@ def asof_join(
             "__salt",
             F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         part_cols.append("__salt")
-    w = (Window.partitionBy(*part_cols)
-         .orderBy("__ts", "__is_l", "__tb")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = (l.unionByName(r)
-               .withColumn("__rm", F.last("__r", ignorenulls=True).over(w))
-               .filter(F.col("__is_l") == 1))
+    w_b = (Window.partitionBy(*part_cols)
+           .orderBy(F.col("__ts").asc(), F.col("__is_l").asc(),
+                    F.col("__tb").asc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # forward = the identical running-last carry over the REVERSE scan:
+    # ts desc; right still sorts before left at equal ts (inclusive);
+    # tb desc so the last-seen equal-ts right is the MIN tiebreak
+    w_f = (Window.partitionBy(*part_cols)
+           .orderBy(F.col("__ts").desc(), F.col("__is_l").asc(),
+                    F.col("__tb").desc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = l.unionByName(r)
+    if direction == "backward":
+        u = u.withColumn("__rm", F.last("__r", ignorenulls=True).over(w_b))
+    elif direction == "forward":
+        u = u.withColumn("__rm", F.last("__r", ignorenulls=True).over(w_f))
+    else:  # nearest: both carries share the single exchange
+        u = (u.withColumn("__rb", F.last("__r", ignorenulls=True).over(w_b))
+             .withColumn("__rf", F.last("__r", ignorenulls=True).over(w_f)))
+        back_ts = F.col(f"__rb.{right_ts}")
+        fwd_ts = F.col(f"__rf.{right_ts}")
+        u = u.withColumn(
+            "__rm",
+            F.when(F.col("__rb").isNull(), F.col("__rf"))
+            .when(F.col("__rf").isNull(), F.col("__rb"))
+            .when(F.col("__ts") - back_ts <= fwd_ts - F.col("__ts"),
+                  F.col("__rb"))          # exact tie → backward (pandas)
+            .otherwise(F.col("__rf")))
+    matched = u.filter(F.col("__is_l") == 1)
     out = [F.col(f"__l.{c}").alias(c) for c in lcols]
     out += [F.col(f"__rm.{c}").alias(f"{right_prefix}{c}") for c in rcols]
     return matched.select(*out)
