@@ -799,6 +799,27 @@ def _q_asof_forward(spark, sf_dir):
         .alias("wait_sec"))
 
 
+def _q_asof_nearest(spark, sf_dir):
+    # nearest as-of: closest click either side of each purchase, exact
+    # ties backward (pandas convention). Oracle: two native DuckDB ASOF
+    # joins (>= and <=) + the same closer-side CASE.
+    from validatelite_spark.operators.joins import asof_join
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = asof_join(purchases, clicks, by="user_id", left_ts="ts",
+                  right_ts="ts", right_prefix="click_",
+                  tiebreak="event_id", direction="nearest")
+
+    def _epoch(c):
+        return F.unix_micros(F.col(c).cast("timestamp")) / 1e6
+    return j.select(
+        "event_id", "user_id", F.col("click_event_id"),
+        F.round(F.abs(_epoch("click_ts") - _epoch("ts")) + 1e-9, 4)
+        .alias("dist_sec"))
+
+
 def _q_range_signup_purchase(spark, sf_dir):
     # range join (point-in-interval) without the nested-loop plan:
     # purchases within 2 days after a signup by the same user. Oracle:
@@ -1142,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kept_corpus": _q_dedup_kept_corpus,
         "asof_purchase_click": _q_asof_purchase_click,
         "asof_forward_click": _q_asof_forward,
+        "asof_nearest_click": _q_asof_nearest,
         "range_signup_purchase": _q_range_signup_purchase,
         "time_rollup_events": _q_time_rollup,
         "hash_sample": _q_hash_sample,
@@ -1345,6 +1367,30 @@ HAVING count(*) >= 1
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts <= c.ts""",
+        "asof_nearest_click": """
+            WITH p AS (SELECT * FROM events WHERE event_type='purchase'),
+            c AS (SELECT * FROM events WHERE event_type='click'),
+            b AS (SELECT p.event_id, p.user_id, p.ts,
+                         c.event_id AS bid, c.ts AS bts
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND p.ts >= c.ts),
+            f AS (SELECT p.event_id, c.event_id AS fid, c.ts AS fts
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND p.ts <= c.ts)
+            SELECT b.event_id, b.user_id,
+                   CASE WHEN bid IS NULL THEN fid
+                        WHEN fid IS NULL THEN bid
+                        WHEN epoch(b.ts) - epoch(bts)
+                             <= epoch(fts) - epoch(b.ts) THEN bid
+                        ELSE fid END AS click_event_id,
+                   round(CASE WHEN bid IS NULL THEN epoch(fts)-epoch(b.ts)
+                              WHEN fid IS NULL THEN epoch(b.ts)-epoch(bts)
+                              WHEN epoch(b.ts)-epoch(bts)
+                                   <= epoch(fts)-epoch(b.ts)
+                              THEN epoch(b.ts)-epoch(bts)
+                              ELSE epoch(fts)-epoch(b.ts) END + 1e-9, 4)
+                   AS dist_sec
+            FROM b JOIN f USING (event_id)""",
         "range_signup_purchase": """
             SELECT p.event_id, s.event_id AS signup_id, p.user_id,
                    round(epoch(p.ts) - epoch(s.ts) + 1e-9, 4) AS delay_sec
