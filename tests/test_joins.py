@@ -195,3 +195,21 @@ class TestAsofDirections:
         import pytest
         with pytest.raises(ValueError):
             asof_join(left, right, by="k", direction="sideways")
+
+
+class TestAsofNullTimestamps:
+    def test_null_ts_matches_nothing_in_any_direction(self, spark):
+        """NULL timestamps satisfy no inequality: a NULL-ts left row
+        gets NULL match columns and a NULL-ts right row is never a
+        match — in ALL three directions (window sort placement must not
+        smuggle them in)."""
+        left = _df(spark, [(1, 9, None), (2, 9, 10.0)],
+                   "lid long, k long, ts double")
+        right = _df(spark, [(91, 9, None), (92, 9, 8.0), (93, 9, 20.0)],
+                    "rid long, k long, ts double")
+        for direction, want2 in (("backward", 92), ("forward", 93),
+                                 ("nearest", 92)):
+            out = {r["lid"]: r["right_rid"] for r in asof_join(
+                left, right, by="k", direction=direction).collect()}
+            assert out[1] is None, (direction, out)
+            assert out[2] == want2, (direction, out)

@@ -291,3 +291,12 @@ class TestCapPerGroup:
         asc = cap_per_group(df, "g", 2, "q", "k", descending=False)
         assert sorted(r["q"] for r in asc.collect()
                       if r["g"] == "big") == [0, 1]
+
+    def test_ascending_nulls_never_eat_quota(self, spark):
+        from validatelite_spark.operators.sampling import cap_per_group
+        rows = [("g", 1, None), ("g", 2, None), ("g", 3, None),
+                ("g", 4, 10), ("g", 5, 20)]
+        df = spark.createDataFrame(rows, "g string, k long, q long")
+        asc = cap_per_group(df, "g", 3, "q", "k", descending=False)
+        got = sorted(r["k"] for r in asc.collect())
+        assert got == [1, 4, 5]  # real values first, NULLs fill leftovers

@@ -73,6 +73,12 @@ def asof_join(
         raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
     rcols = right.columns
+    # a NULL timestamp satisfies no inequality in ANY direction: NULL-ts
+    # right rows can never be matches (drop them before the carry —
+    # otherwise NULLS-FIRST/LAST sort placement smuggles them into the
+    # running last()), and NULL-ts left rows get NULL match columns in
+    # the final projection below
+    right = right.filter(F.col(right_ts).isNotNull())
     # tiebreak sorts in its NATIVE type: a cast (e.g. string id → long)
     # would NULL out non-numeric ids and silently drop the deterministic
     # tie-break (ADVICE r2); the left side carries a NULL of that type
@@ -137,7 +143,10 @@ def asof_join(
             .otherwise(F.col("__rf")))
     matched = u.filter(F.col("__is_l") == 1)
     out = [F.col(f"__l.{c}").alias(c) for c in lcols]
-    out += [F.col(f"__rm.{c}").alias(f"{right_prefix}{c}") for c in rcols]
+    # NULL-ts left rows match nothing (their window position is a sort
+    # artifact, not a comparison result)
+    out += [F.when(F.col("__ts").isNotNull(), F.col(f"__rm.{c}"))
+            .alias(f"{right_prefix}{c}") for c in rcols]
     return matched.select(*out)
 
 

@@ -36,6 +36,15 @@ from pyspark.sql import functions as F
 _DENOM = 1_000_000
 
 
+def _hash_bucket(key_col: str, seed: int):
+    """The sampling contract, in ONE place (its SQL mirror appears in
+    every sampling oracle): first 8 md5 hex digits of ``key:seed``,
+    mod 1e6 — engine-portable, partition/cluster-size invariant."""
+    return F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
+        16, 10).cast("long") % _DENOM
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,
@@ -52,9 +61,7 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     threshold = int(round(fraction * _DENOM))
-    bucket = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
-        16, 10).cast("long") % _DENOM
+    bucket = _hash_bucket(key_col, seed)
     return df.filter(bucket < F.lit(threshold))
 
 
@@ -160,9 +167,7 @@ def stratified_sample(
     for stratum, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == stratum,
                      F.lit(int(round(frac * _DENOM)))).otherwise(thr)
-    bucket = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
-        16, 10).cast("long") % _DENOM
+    bucket = _hash_bucket(key_col, seed)
     return df.filter(bucket < thr)
 
 
@@ -238,24 +243,24 @@ def temperature_sample(
         raise ValueError("alpha must be in (0, 1]")
     counts = (df.groupBy(F.col(strata_col).alias("__s"))
               .agg(F.count(F.lit(1)).alias("__c")))
-    tot = counts.agg(F.sum(F.pow(F.col("__c"), F.lit(alpha)))
-                     .alias("__z"))
+    # the normalizer is a window over the TINY counts table (one row per
+    # stratum) — a separate counts.agg() would embed the corpus-wide
+    # count aggregation twice in the plan (one extra full scan)
+    wz = Window.partitionBy()
+    z = F.sum(F.pow(F.col("__c"), F.lit(alpha))).over(wz)
     frac = F.least(
         F.lit(1.0),
         F.lit(float(total_budget)) * F.pow(F.col("__c"), F.lit(alpha))
-        / F.col("__z") / F.col("__c"))
+        / z / F.col("__c"))
     # double round: the inner round pins the fraction at round_to
     # decimals; the outer snaps fraction*1e6 to the nearest integer so
     # float-representation dust (0.123456*1e6 = 123455.9999…) cannot
     # truncate differently across engines
-    thresholds = (counts.crossJoin(F.broadcast(tot))
-                  .select("__s",
-                          F.round(F.round(frac + 1e-9, round_to)
-                                  * _DENOM, 0).cast("long")
-                          .alias("__thr")))
-    bucket = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
-        16, 10).cast("long") % _DENOM
+    thresholds = counts.select(
+        "__s",
+        F.round(F.round(frac + 1e-9, round_to) * _DENOM, 0)
+        .cast("long").alias("__thr"))
+    bucket = _hash_bucket(key_col, seed)
     return (df.join(F.broadcast(thresholds),
                     F.col(strata_col).eqNullSafe(F.col("__s")))
             .filter(bucket < F.col("__thr"))
@@ -277,7 +282,10 @@ def cap_per_group(
     parallelism (domains are numerous at web scale — no hot-partition
     hazard; for a pathological single-group input use
     ``token_budget_filter``'s bucketed shape instead)."""
-    order = [F.desc(order_col) if descending else F.col(order_col)]
+    # NULLs rank LAST in both directions (desc is NULLS LAST natively;
+    # plain asc would be NULLS FIRST and let NULL rows eat the quota)
+    order = [F.desc(order_col) if descending
+             else F.asc_nulls_last(order_col)]
     if key_col:
         order.append(F.col(key_col))
     w = Window.partitionBy(by).orderBy(*order)
