@@ -843,6 +843,32 @@ def _q_range_signup_purchase(spark, sf_dir):
                      .alias("delay_sec")))
 
 
+def _q_interval_overlap(spark, sf_dir):
+    # interval × interval overlap join without a nested-loop plan
+    # (operators/joins.py interval_join — owner-bucket rule, no dedup
+    # pass): 2-day signup windows overlapping 1-day purchase windows of
+    # the same user. Oracle: plain inequality join.
+    from validatelite_spark.operators.joins import interval_join
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    epoch = (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select(F.col("event_id").alias("signup_id"), "user_id",
+                       epoch.alias("s"), (epoch + 2 * 86400).alias("e")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", epoch.alias("s"),
+                         (epoch + 86400).alias("e")))
+    j = interval_join(signups, purchases, "s", "e", "s", "e",
+                      bucket_width=86400.0, by="user_id")
+    return j.select(
+        "signup_id", F.col("right_purchase_id").alias("purchase_id"),
+        "user_id",
+        F.round(F.least(F.col("e"), F.col("right_e"))
+                - F.greatest(F.col("s"), F.col("right_s")) + 1e-9, 4)
+        .alias("overlap_sec"))
+
+
 def _q_time_rollup(spark, sf_dir):
     # hypertable-style hierarchical rollup: the hour level aggregates
     # the raw table ONCE; day and month re-aggregate the hour output
@@ -1165,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_click": _q_asof_forward,
         "asof_nearest_click": _q_asof_nearest,
         "range_signup_purchase": _q_range_signup_purchase,
+        "interval_overlap": _q_interval_overlap,
         "time_rollup_events": _q_time_rollup,
         "hash_sample": _q_hash_sample,
         "token_budget": _q_token_budget,
@@ -1399,6 +1426,18 @@ HAVING count(*) >= 1
               ON p.user_id = s.user_id
              AND epoch(p.ts) >= epoch(s.ts)
              AND epoch(p.ts) < epoch(s.ts) + 2 * 86400""",
+        "interval_overlap": """
+            WITH s AS (SELECT event_id AS signup_id, user_id,
+                              epoch(ts) AS st, epoch(ts) + 2*86400 AS en
+                       FROM events WHERE event_type = 'signup'),
+            p AS (SELECT event_id AS purchase_id, user_id,
+                         epoch(ts) AS st, epoch(ts) + 86400 AS en
+                  FROM events WHERE event_type = 'purchase')
+            SELECT s.signup_id, p.purchase_id, s.user_id,
+                   round(least(s.en, p.en) - greatest(s.st, p.st)
+                         + 1e-9, 4) AS overlap_sec
+            FROM s JOIN p ON s.user_id = p.user_id
+             AND s.st < p.en AND p.st < s.en""",
         "time_rollup_events": """
             WITH lv AS (
               SELECT 'hour' AS gran, date_trunc('hour', ts) AS bucket,

@@ -213,3 +213,40 @@ class TestAsofNullTimestamps:
                 left, right, by="k", direction=direction).collect()}
             assert out[1] is None, (direction, out)
             assert out[2] == want2, (direction, out)
+
+
+class TestIntervalJoin:
+    def test_overlap_semantics_owner_bucket_no_dupes(self, spark):
+        from validatelite_spark.operators.joins import interval_join
+        lv = _df(spark, [(1, 0.0, 10.0), (2, 9.0, 12.0), (3, 30.0, 31.0)],
+                 "lid long, s double, e double")
+        rv = _df(spark, [(100, 5.0, 9.5), (200, 11.0, 40.0),
+                         (300, 10.0, 11.0)],
+                 "rid long, s double, e double")
+        got = sorted((r["lid"], r["right_rid"]) for r in interval_join(
+            lv, rv, "s", "e", "s", "e", bucket_width=3.0).collect())
+        # strict overlap: (1,100); (2,100) 9<9.5; (2,300) 10<12 & 9<11;
+        # (2,200) 11<12; (3,200) 30<40 & 11<31; NOT (1,300): 10<10 false
+        assert got == [(1, 100), (2, 100), (2, 200), (2, 300), (3, 200)]
+        # long spans share MANY buckets — owner-bucket must dedup
+        assert len(got) == len(set(got))
+
+    def test_matches_bruteforce_keyed(self, spark):
+        from validatelite_spark.operators.joins import interval_join
+        import itertools
+        lrows = [(i, i % 3, float((i * 7) % 40), float((i * 7) % 40 + 6))
+                 for i in range(50)]
+        rrows = [(100 + i, i % 3, float((i * 11) % 45),
+                  float((i * 11) % 45 + 4)) for i in range(50)]
+        lv = _df(spark, lrows, "lid long, k long, s double, e double")
+        rv = _df(spark, rrows, "rid long, k long, s double, e double")
+        got = sorted((r["lid"], r["right_rid"]) for r in interval_join(
+            lv, rv, "s", "e", "s", "e", bucket_width=5.0,
+            by="k").collect())
+        want = sorted((l[0], r[0]) for l, r in
+                      itertools.product(lrows, rrows)
+                      if l[1] == r[1] and l[2] < r[3] and r[2] < l[3])
+        assert got == want
+        plan = interval_join(lv, rv, "s", "e", "s", "e", 5.0, by="k") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -194,3 +194,55 @@ def range_join(
             .filter((pt >= start) & ((pt <= end) if inclusive_end
                                      else (pt < end)))
             .select(*lcols, *[f"{p}{c}" for c in rcols]))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    by: str | None = None,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Interval-overlap join: every (l, r) pair with
+    ``l.start < r.end AND r.start < l.end`` (strict overlap, the
+    standard half-open convention), optionally also keyed on ``by``.
+
+    Physical shape: both sides posexplode into the fixed-width integer
+    buckets their interval covers; Catalyst runs a plain shuffled
+    equi-join on (key, bucket). A pair overlaps in possibly MANY shared
+    buckets — instead of a dedup pass, each pair is counted exactly once
+    by the OWNER-BUCKET rule: the pair belongs to the bucket containing
+    ``max(l.start, r.start)`` (the start of the overlap region), which
+    both sides cover by construction. Cost is
+    |L|·(span/width) + |R|·(span/width) shuffled rows and no
+    nested-loop/cartesian plan; pick ``bucket_width`` ≈ the typical
+    interval length. Range columns must be numeric."""
+    w = float(bucket_width)
+    lcols, rcols = left.columns, right.columns
+    p = right_prefix
+    lb = left.select(
+        *[F.col(c) for c in lcols],
+        F.explode(F.sequence(
+            F.floor(F.col(left_start) / F.lit(w)).cast("long"),
+            F.floor(F.col(left_end) / F.lit(w)).cast("long")))
+        .alias("__lb"))
+    rb = right.select(
+        *[F.col(c).alias(f"{p}{c}") for c in rcols],
+        F.explode(F.sequence(
+            F.floor(F.col(right_start) / F.lit(w)).cast("long"),
+            F.floor(F.col(right_end) / F.lit(w)).cast("long")))
+        .alias("__rb"))
+    cond = F.col("__lb") == F.col("__rb")
+    if by is not None:
+        cond = cond & (F.col(by) == F.col(f"{p}{by}"))
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(f"{p}{right_start}"), F.col(f"{p}{right_end}")
+    owner = F.floor(F.greatest(ls, rs) / F.lit(w)).cast("long")
+    return (lb.join(rb, cond)
+            .filter((ls < re_) & (rs < le)
+                    & (F.col("__lb") == owner))
+            .select(*lcols, *[f"{p}{c}" for c in rcols]))
