@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "top_ngrams",
     "key_skew",
     "curation_end_to_end",
+    "asof_forward_click",
+    "asof_nearest_click",
+    "interval_overlap",
+    "temperature_sample",
+    "cap_per_source",
 ]
 
 
