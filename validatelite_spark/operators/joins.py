@@ -25,9 +25,14 @@
   ``bucket_width`` ≈ the typical interval length: cost is
   |L| + |R|·(avg_span/width) shuffled rows.
 
-DuckDB is the oracle for the driver queries (__spark_entry__.py:
-asof_purchase_click via native ASOF JOIN, range_signup_purchase via a
-plain inequality join).
+- **interval join** (interval × interval overlap): same bucketing; a
+  pair sharing many buckets is emitted once via the owner-bucket rule
+  (the bucket of ``max(start_l, start_r)``) — no dedup pass.
+
+DuckDB is the oracle for the driver queries (__spark_entry__.py):
+asof_purchase_click / asof_forward_click via native ASOF JOIN (>= and
+<=), asof_nearest_click via two composed ASOFs, range_signup_purchase
+and interval_overlap via plain inequality joins.
 """
 
 from __future__ import annotations
