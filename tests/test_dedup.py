@@ -68,6 +68,28 @@ class TestExactDedup:
         assert len(groups) == 1
         assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
 
+    def test_viral_page_plan_has_no_window(self, spark):
+        # Round-3 verdict #1 (exact_dedup leg): 10^6 copies of one viral
+        # page must collapse in a map-side partial aggregate, not pile
+        # into one Window.partitionBy(fingerprint) task.
+        rows = [(i, "the viral page" if i else f"unique {i}")
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.exact_dedup(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "partial_min" in plan
+        ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        assert ids == [0, 1]  # doc 0 ('unique 0'), doc 1 wins the viral set
+
+    def test_null_texts_all_kept(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x"), (4, "x")],
+            "doc_id long, text string")
+        ids = sorted(r["doc_id"]
+                     for r in dedup.exact_dedup(df).collect())
+        assert ids == [1, 2, 3]
+
 
 class TestNgramJaccard:
     def test_exhaustive_pairs(self, docs):

@@ -80,3 +80,18 @@ class TestLineDedup:
         got = {r["doc_id"]: r["text_dedup"]
                for r in line_dedup(df).collect()}
         assert got == {10: "same text", 11: "", 12: "other"}
+
+    def test_hot_line_plan_has_no_window(self, spark):
+        # Round-3 verdict #1: a boilerplate line occurring in (nearly)
+        # every doc must NOT become a single-task Window partition — the
+        # winner must come from a map-side-combinable partial aggregate.
+        rows = [(i, f"unique {i}\ncookie banner") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        # winner-per-line partial aggregate with min(struct(k, pos))
+        assert "partial_min" in plan or "partial min" in plan.lower()
+        got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
+        assert got[0] == "unique 0\ncookie banner"
+        assert all(got[i] == f"unique {i}" for i in range(1, 200))

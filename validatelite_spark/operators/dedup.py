@@ -3,9 +3,12 @@
 Five dedup strategies, all pure DataFrame compositions (no Python in the
 hot path), designed for the 100 TB shape:
 
-- **exact**: md5 fingerprint of normalized text → one shuffle on the
-  16-byte digest, window row_number keeps the min-key doc. At scale the
-  shuffle key is the digest (uniform — no skew).
+- **exact**: md5 fingerprint of normalized text → winner-per-digest
+  ``groupBy(fp).agg(min(struct(key)))`` (partial agg collapses the copy
+  set of a viral page map-side — no window, no single-task hot
+  partition) → join back keeps the min-key doc. The shuffle key is the
+  digest (uniform across DISTINCT texts; the hot key is the copy count
+  of one page, which the partial aggregate absorbs).
 - **ngram-jaccard**: word n-gram shingles → explode → self-equi-join on
   shingle → pair-count aggregation → exact Jaccard filter. The join is an
   equi-join on the shingle string, so Catalyst shuffles both sides by
@@ -33,7 +36,7 @@ import logging
 import re as _re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from validatelite_spark.functions.textquality import fingerprint, tokens
@@ -57,15 +60,27 @@ DEFAULT_DF_CAP = 2_000
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 key_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min key) per normalized-text fingerprint.
-    NULL texts are all kept (no fingerprint)."""
+    NULL texts are all kept (no fingerprint).
+
+    Scale shape: winner per fingerprint via
+    ``groupBy(fp).agg(min(struct(key)))`` — the partial aggregate runs
+    map-side, so 10^6 copies of one viral page collapse to one row per
+    map task before the shuffle — then a join back on the fingerprint
+    keeps only the winning row. No ``Window.partitionBy(fp)``: a window
+    partition is one unsplittable task holding every copy of the hot
+    page; the aggregate+join shape is AQE-skew-splittable. ``key_col``
+    must identify rows uniquely within a fingerprint group (a doc key);
+    rows duplicating BOTH text and key are all kept."""
     fp = fingerprint(F.col(text_col))
-    w = Window.partitionBy(fp).orderBy(F.col(key_col))
+    winners = (df.filter(F.col(text_col).isNotNull())
+               .groupBy(fp.alias("__fp"))
+               .agg(F.min(F.struct(F.col(key_col))).alias("__w")))
     return (
-        df.withColumn("__rn",
-                      F.when(F.col(text_col).isNull(), F.lit(1))
-                      .otherwise(F.row_number().over(w)))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("__fp", fp)
+        .join(winners, "__fp", "left")
+        .filter(F.col(text_col).isNull()
+                | F.struct(F.col(key_col)).eqNullSafe(F.col("__w")))
+        .drop("__fp", "__w")
     )
 
 

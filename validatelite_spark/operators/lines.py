@@ -8,18 +8,25 @@ surface is UNIQUE's duplicate counting, core/executors/uniqueness —
 reference: core/executors/uniqueness_executor.py) — this is a
 training-data operator.
 
-Scale shape (100 TB): one posexplode (doc → lines), ONE shuffle keyed by
-the line string (uniform — boilerplate lines are hot keys, but the
-window only row_numbers within them, it never collects them), and one
-groupBy(doc) to reassemble kept lines in order. Line order inside a doc
-is restored via ``array_sort`` over (pos, line) structs — no second
-window. Deterministic: the kept occurrence is the (min doc key, min
-position) one at any partitioning/cluster size.
+Scale shape (100 TB): one posexplode (doc → lines), a winner-per-line
+``groupBy(line).agg(min(struct(k, pos)))`` — the PARTIAL aggregate runs
+map-side, so a cookie-banner line occurring in 10^9 docs collapses to
+one row per map task BEFORE the shuffle — a join back on the line to
+keep only each line's winning occurrence, and one groupBy(doc) to
+reassemble kept lines in order. The join's residual hot-key partition
+(every occurrence of the boilerplate line lands in one reducer) is
+AQE-splittable (skewed-join handling can replicate the 1-row-per-key
+build side across splits); a ``Window.partitionBy(line)`` — the shape
+this replaced — is a single unsplittable task per hot line and was the
+round-3 verdict's top scale-killer. Line order inside a doc is restored
+via ``array_sort`` over (pos, line) structs — no window anywhere.
+Deterministic: the kept occurrence is the (min doc key, min position)
+one at any partitioning/cluster size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,11 +60,17 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), split_pattern))
         .alias("pos", "line"))
     dedupable = F.length("line") >= min_line_chars
-    w = Window.partitionBy("line").orderBy("k", "pos")
+    # Winner per line = min (k, pos) struct. One row per distinct line
+    # after a map-side partial aggregate — the hot-boilerplate key never
+    # reaches a reducer at full multiplicity.
+    winners = (lines.filter(dedupable)
+               .groupBy("line")
+               .agg(F.min(F.struct("k", "pos")).alias("__w")))
     kept = (lines
-            .withColumn("__rn", F.when(~dedupable, F.lit(1))
-                        .otherwise(F.row_number().over(w)))
-            .filter(F.col("__rn") == 1))
+            .join(winners, "line", "left")
+            .filter(~dedupable
+                    | F.struct("k", "pos").eqNullSafe(F.col("__w")))
+            .drop("__w"))
     rebuilt = (
         kept.groupBy("k")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
