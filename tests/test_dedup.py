@@ -48,6 +48,36 @@ class TestDedupGroups:
         assert one == two
         assert {g for _, g in one} == {0, 1, 2}
 
+    def test_reliable_checkpoint_dir(self, docs, tmp_path):
+        # Round-3 verdict #6: the dir-based (cluster-safe) checkpoint
+        # path must produce identical components and actually write
+        # checkpoint data under the given directory.
+        import os
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.7)
+        ckpt = str(tmp_path / "ckpt")
+        a = sorted(map(tuple, dedup.dedup_groups(pairs).collect()))
+        b = sorted(map(tuple,
+                       dedup.dedup_groups(pairs, checkpoint_dir=ckpt)
+                       .collect()))
+        assert a == b
+        assert any(os.scandir(ckpt))  # checkpoint files were written
+
+    def test_keep_representatives_no_broadcast_over_threshold(self, docs):
+        # Round-3 verdict #2: above the size gate the groups side must
+        # NOT broadcast (billions of group rows at web scale).
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.7)
+        groups = dedup.dedup_groups(pairs)
+        kept_b = dedup.keep_representatives(docs, groups, broadcast=True)
+        kept_s = dedup.keep_representatives(docs, groups,
+                                            broadcast_threshold=0)
+        plan_b = kept_b._jdf.queryExecution().executedPlan().toString()
+        plan_s = kept_s._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan_b
+        assert "BroadcastExchange" not in plan_s
+        a = sorted(r["doc_id"] for r in kept_b.select("doc_id").collect())
+        b = sorted(r["doc_id"] for r in kept_s.select("doc_id").collect())
+        assert a == b
+
     def test_keep_representatives(self, docs):
         pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
         groups = dedup.dedup_groups(pairs)

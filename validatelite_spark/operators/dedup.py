@@ -552,6 +552,7 @@ def dedup_groups(
     id1: str = "id1",
     id2: str = "id2",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, group_id).
 
@@ -563,26 +564,38 @@ def dedup_groups(
 
     Scale shape: one shuffle per round (edges ⋈ labels then
     groupBy(v).min), label table is (id, id) only, and each round
-    materializes via localCheckpoint so the plan/lineage does not grow
-    with iterations (the standard iterative-algorithm hygiene; at
-    cluster scale use a checkpoint dir on the shared FS instead).
+    materializes so the plan/lineage does not grow with iterations (the
+    standard iterative-algorithm hygiene). ``checkpoint_dir``: when
+    given, rounds checkpoint reliably to that directory via
+    ``df.checkpoint()`` (shared-FS path on a real cluster — survives
+    executor loss); when None, ``localCheckpoint`` (executor memory —
+    right for local mode, lost with an executor at cluster scale).
     Returns only vertices that appear in ``pairs`` — docs with no
     near-dup are their own group by definition."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _mat(df):
+            return df.checkpoint(eager=True)
+    else:
+        def _mat(df):
+            return df.localCheckpoint()
+
     # materialize the (possibly expensive) pair plan ONCE — the
     # bidirectional union below would otherwise recompute it twice
-    pairs = pairs.select(id1, id2).localCheckpoint()
-    edges = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-             .union(pairs.select(F.col(id2).alias("src"),
-                                 F.col(id1).alias("dst")))
-             .distinct().localCheckpoint())
-    labels = (edges.select(F.col("src").alias("v")).distinct()
-              .withColumn("label", F.col("v")).localCheckpoint())
+    pairs = _mat(pairs.select(id1, id2))
+    edges = _mat(pairs.select(F.col(id1).alias("src"),
+                              F.col(id2).alias("dst"))
+                 .union(pairs.select(F.col(id2).alias("src"),
+                                     F.col(id1).alias("dst")))
+                 .distinct())
+    labels = _mat(edges.select(F.col("src").alias("v")).distinct()
+                  .withColumn("label", F.col("v")))
     def _round(labels):
         msgs = (edges.join(labels.withColumnRenamed("v", "src"), "src")
                 .select(F.col("dst").alias("v"), "label"))
-        new = (labels.unionByName(msgs)
-               .groupBy("v").agg(F.min("label").alias("label"))
-               .localCheckpoint())
+        new = _mat(labels.unionByName(msgs)
+                   .groupBy("v").agg(F.min("label").alias("label")))
         changed = (new.join(labels.withColumnRenamed("label", "old"), "v")
                    .filter(F.col("label") < F.col("old")).count())
         return new, changed
@@ -608,18 +621,40 @@ def dedup_groups(
                          F.col("label").alias("group_id"))
 
 
+#: above this many group rows the keep_representatives join switches
+#: from broadcast to a shuffled sort-merge join. 8M (id, id) longs is
+#: ~128 MB serialized — comfortably under executor broadcast budgets,
+#: and web corpora where 30-50% of docs have a near-dup blow far past
+#: it, so the gate matters exactly where the broadcast would OOM.
+KEEP_BROADCAST_THRESHOLD = 8_000_000
+
+
 def keep_representatives(
     df: DataFrame,
     groups: DataFrame,
     key_col: str = "doc_id",
+    broadcast: bool | None = None,
+    broadcast_threshold: int = KEEP_BROADCAST_THRESHOLD,
 ) -> DataFrame:
     """Drop all but one doc per near-dup group: keep the doc whose id IS
     the group label (the min id — deterministic), plus every doc in no
-    group. ``groups`` is dedup_groups' output; it is tiny relative to
-    the corpus (only docs WITH a near-dup appear), so the join
-    broadcasts at typical dup rates."""
+    group. ``groups`` is dedup_groups' output (only docs WITH a
+    near-dup appear).
+
+    The join is size-gated like ``decontaminate``'s benchmark side
+    (operators/repetition.py): at typical small-corpus dup rates the
+    groups table broadcasts, but at web scale 30-50% of docs carry a
+    near-dup — billions of group rows — and an unconditional broadcast
+    is a driver/executor OOM (round-3 verdict #2). ``broadcast=None``
+    counts the groups table once at plan-construction time and
+    broadcasts only under ``broadcast_threshold``; above it a plain
+    shuffled equi-join on the doc key (uniform — ids, not content)
+    carries identical semantics."""
     g = groups.withColumnRenamed("doc_id", key_col)
-    return (df.join(F.broadcast(g), key_col, "left")
+    if broadcast is None:
+        broadcast = g.count() <= broadcast_threshold
+    g_side = F.broadcast(g) if broadcast else g.hint("merge")
+    return (df.join(g_side, key_col, "left")
             .filter(F.col("group_id").isNull()
                     | (F.col(key_col) == F.col("group_id")))
             .drop("group_id"))
