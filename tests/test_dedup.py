@@ -297,6 +297,56 @@ class TestSimHash:
                      docs, max_distance=3, hash_fn="md5").collect()}
         assert pairs.get((0, 1)) == 0
 
+    def test_block_combination_keys_same_pairs(self, docs):
+        # Manku block-combination banding (blocks=6 → 20 bands of
+        # ~32-bit keys) must return EXACTLY the single-block result —
+        # pigeonhole recall is 1 by construction on both.
+        base = sorted(map(tuple,
+                          dedup.simhash_pairs(docs, max_distance=3)
+                          .collect()))
+        wide = sorted(map(tuple,
+                          dedup.simhash_pairs(docs, max_distance=3,
+                                              blocks=6).collect()))
+        assert base == wide
+        w6 = sorted(map(tuple,
+                        dedup.simhash_pairs(docs, max_distance=6,
+                                            blocks=8).collect()))
+        b6 = sorted(map(tuple,
+                        dedup.simhash_pairs(docs, max_distance=6)
+                        .collect()))
+        assert w6 == b6
+
+    def test_hot_chunk_candidates_bounded(self, spark):
+        # Round-3 verdict #3: a degenerate corpus where EVERY doc shares
+        # one 16-bit chunk (but differs widely elsewhere) makes the
+        # single-block banding admit C(N,2) candidates; 3-block
+        # combination keys admit none, because any key includes >=2
+        # differing blocks. Pairs are counted pre-verify (verify=False).
+        n = 100
+        rows = []
+        for i in range(1, n + 1):
+            h = ((i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)) & ~0xFFFF
+            h |= 0x1234  # shared low 16-bit chunk
+            rows.append((i, h - (1 << 64) if h >= 1 << 63 else h))
+        sh = spark.createDataFrame(rows, "k long, sh long")
+        hot = dedup.simhash_candidates(sh, max_distance=3,
+                                       verify=False).count()
+        capped = dedup.simhash_candidates(sh, max_distance=3, blocks=6,
+                                          verify=False).count()
+        assert hot >= n * (n - 1) // 2  # the blow-up the fix targets
+        assert capped < n                # bounded: no shared 32-bit key
+        # and the verified result agrees (both empty — no true pairs)
+        assert dedup.simhash_candidates(sh, max_distance=3).count() == \
+            dedup.simhash_candidates(sh, max_distance=3, blocks=6).count() == 0
+
+    def test_bad_block_params_raise(self, docs):
+        import pytest as _pt
+        sh = dedup.simhash_table(docs)
+        with _pt.raises(ValueError):
+            dedup.simhash_candidates(sh, max_distance=3, blocks=3)
+        with _pt.raises(ValueError):
+            dedup.simhash_candidates(sh, max_distance=3, blocks=17)
+
 
 @pytest.fixture(scope="module")
 def vectors(spark):

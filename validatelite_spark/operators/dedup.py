@@ -502,48 +502,98 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _block_cols(blocks: int) -> list[Column]:
+    """Split the 64-bit ``sh`` column into ``blocks`` bit-fields (last
+    block absorbs the remainder bits)."""
+    width = 64 // blocks
+    out = []
+    for c in range(blocks):
+        shift = c * width
+        w = 64 - shift if c == blocks - 1 else width
+        cmask = (1 << w) - 1 if w < 64 else -1
+        out.append(F.shiftrightunsigned(F.col("sh"), shift)
+                   .bitwiseAND(F.lit(cmask)))
+    return out
+
+
+def simhash_candidates(
+    sh: DataFrame,
+    max_distance: int = 3,
+    blocks: int | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """Exact hamming<=max_distance pairs from a ``(k, sh)`` signature
+    table via pigeonhole banding + exact verify.
+
+    Pigeonhole (Manku/Jain/Das Sarma, WWW'07 §3): split the 64-bit hash
+    into m blocks; a pair within distance d differs in at most d blocks,
+    so it AGREES on some (m-d)-subset — key each doc on every
+    (m-d)-combination of its block values and candidates are same-key
+    collisions. Recall is exactly 1 by construction (not probabilistic);
+    exact hamming verification removes false positives.
+
+    ``blocks=None`` → m = d+1 (key = 1 block): 4 bands of 16-bit keys
+    at d=3 — fine to ~10^8 docs and the DuckDB-oracle anchor shape.
+    At web scale the expected same-key collisions are ~N²/2^16 per band
+    (round-3 verdict #3 — the join IS the blow-up), so the scale path
+    passes ``blocks=m > d+1``: keys widen to (m-d)·(64/m) bits at the
+    cost of C(m, m-d) bands. d=3, m=6 → 20 bands of ~32-bit keys →
+    collisions ~N²/2^32 per band; m=8 → 70 bands of 40-bit keys.
+    Identical output either way — only the candidate count changes.
+
+    ``verify=False`` is a DIAGNOSTIC: returns the deduped candidate
+    pairs WITHOUT the hamming filter, so tests/capacity planning can
+    measure how many pairs a banding admits before verification."""
+    from itertools import combinations
+
+    m = blocks if blocks is not None else max_distance + 1
+    if m <= max_distance:
+        raise ValueError(
+            f"blocks={m} must exceed max_distance={max_distance}")
+    if 64 // m < 4:
+        raise ValueError(f"blocks={m} leaves <4 bits per block")
+    r = m - max_distance
+    combos = list(combinations(range(m), r))
+    if len(combos) > 128:
+        raise ValueError(
+            f"C({m},{r})={len(combos)} bands — lower blocks")
+    bcols = _block_cols(m)
+    key_cols = [f"kb{i}" for i in range(r)]
+    banded = None
+    for ci, sel in enumerate(combos):
+        row = sh.select(
+            "k", "sh", F.lit(ci).alias("band"),
+            *[bcols[s].alias(key_cols[i]) for i, s in enumerate(sel)])
+        banded = row if banded is None else banded.unionByName(row)
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & \
+           (F.col("a.k") < F.col("b.k"))
+    for kc in key_cols:
+        cond = cond & (F.col(f"a.{kc}") == F.col(f"b.{kc}"))
+    out = (
+        a.join(b, cond)
+        .select(F.col("a.k").alias("id1"), F.col("b.k").alias("id2"),
+                hamming64(F.col("a.sh"), F.col("b.sh")).alias("distance"))
+        .distinct()
+    )
+    return out.filter(F.col("distance") <= max_distance) if verify else out
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
     max_distance: int = 3,
     hash_fn: str = "xxhash64",
+    blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_distance.
 
-    Pigeonhole banding: split the 64-bit hash into (max_distance+1)
-    chunks — a pair within distance k differs in at most k chunks, so it
-    agrees on at least one of k+1; candidates come from same-chunk
-    buckets, then exact hamming verifies. More chunks ⇒ wider radius but
-    smaller chunk keys (more candidates); distance <= 15 supported."""
-    n_chunks = max_distance + 1
-    assert n_chunks <= 16, "chunks need >= 4 bits each"
-    chunk_bits = 64 // n_chunks
-    mask = (1 << chunk_bits) - 1
+    Banding strategy (and the ``blocks`` scale knob) documented on
+    ``simhash_candidates``; this wrapper just computes the signatures."""
     sh = simhash_table(df, text_col, key_col, hash_fn=hash_fn).cache()
-    chunks = []
-    for c in range(n_chunks):
-        # last chunk absorbs the remainder bits
-        shift = c * chunk_bits
-        width = 64 - shift if c == n_chunks - 1 else chunk_bits
-        cmask = (1 << width) - 1 if width < 64 else -1
-        chunk = F.shiftrightunsigned(F.col("sh"), shift).bitwiseAND(
-            F.lit(cmask))
-        chunks.append(sh.select("k", "sh", F.lit(c).alias("band"),
-                                chunk.alias("chunk")))
-    banded = chunks[0]
-    for extra in chunks[1:]:
-        banded = banded.unionByName(extra)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.k") < F.col("b.k")))
-        .select(F.col("a.k").alias("id1"), F.col("b.k").alias("id2"),
-                hamming64(F.col("a.sh"), F.col("b.sh")).alias("distance"))
-        .distinct()
-        .filter(F.col("distance") <= max_distance)
-    )
+    return simhash_candidates(sh, max_distance=max_distance,
+                              blocks=blocks)
 
 
 # -------------------------------------------------------- dedup groups
