@@ -109,6 +109,25 @@ class TestIVFIndex:
                                     n_probe=3).collect()
         assert sorted(map(tuple, inline)) == sorted(map(tuple, persisted))
 
+    def test_arrow_scoring_matches_column_anchor(self, spark, emb,
+                                                 index_path):
+        # Round-3 verdict #5: the production probe scores candidates
+        # with the Arrow einsum; the pure-Column expression stays as the
+        # DuckDB-oracle anchor. Both must agree at round_to=6 — ranks,
+        # neighbors, and rounded scores identical.
+        from validatelite_spark.operators.similarity import ivf_index_probe
+        q = emb.filter("vec_id < 5")
+        col = ivf_index_probe(spark, index_path, q, k=5, n_probe=8,
+                              arrow=False)
+        arw = ivf_index_probe(spark, index_path, q, k=5, n_probe=8,
+                              arrow=True)
+        assert sorted(map(tuple, col.collect())) == \
+            sorted(map(tuple, arw.collect()))
+        # the Arrow plan actually runs the pandas UDF; the Column plan
+        # must not
+        assert "ArrowEvalPython" in \
+            arw._jdf.queryExecution().executedPlan().toString()
+
 
 class TestBpeTokens:
     def test_counts_match_re_reference(self, spark):

@@ -60,6 +60,33 @@ def _cosine_udf():
     return cos
 
 
+def _dot_udf():
+    """Arrow-batched pairwise dot product (einsum per batch) — the
+    stored-norm scoring companion to ``_cosine_udf``: callers divide by
+    precomputed norms, so only the dot crosses into Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        a = np.array(v1.tolist(), dtype=np.float64)
+        b = np.array(v2.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", a, b))
+
+    return dot
+
+
+def _candidate_score(round_to: int, arrow: bool):
+    """score = round(dot(cv, qv) / (cn · qn), round_to) — pure-Column
+    (``F.aggregate`` — CodegenFallback, interpreted per candidate row,
+    but expressible in DuckDB, so it anchors the oracles) or
+    Arrow-batched (one einsum per batch — the production path; round-3
+    verdict #4a). Both round identically, so results agree at round_to
+    decimals (pinned by tests/test_ivf.py)."""
+    d = _dot_udf()(F.col("cv"), F.col("qv")) if arrow \
+        else _dot(F.col("cv"), F.col("qv"))
+    return F.round(d / (F.col("cn") * F.col("qn")), round_to)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -378,6 +405,7 @@ def ivf_topk(
     round_to: int = 6,
     refine_iters: int = 0,
     centroids: list[list[float]] | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their
     nearest-centroid bucket ONCE (argmax of centroid dots — pure Column
@@ -418,9 +446,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score",
-                    F.round(_dot(F.col("cv"), F.col("qv"))
-                            / (F.col("cn") * F.col("qn")), round_to))
+        .withColumn("score", _candidate_score(round_to, arrow))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id"))
@@ -479,6 +505,7 @@ def ivf_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    arrow: bool = True,
 ) -> DataFrame:
     """Top-k ANN against a persisted ``ivf_index_write`` index.
 
@@ -487,7 +514,12 @@ def ivf_index_probe(
     ``bucket IN (...)`` predicate, so Catalyst prunes the non-probed
     bucket partitions at planning time (``PartitionFilters`` on the
     scan — pinned by tests/test_ivf.py). Scoring is identical to
-    ``ivf_topk``: stored norms, same rounding, same tie-break."""
+    ``ivf_topk``: stored norms, same rounding, same tie-break.
+
+    ``arrow=True`` (default — this IS the production path) scores
+    candidates with the Arrow-batched einsum dot; ``arrow=False`` keeps
+    the pure-Column expression the DuckDB oracle anchors on. Parity at
+    ``round_to`` decimals is pinned by tests/test_ivf.py."""
     import json
     import os
 
@@ -517,9 +549,7 @@ def ivf_index_probe(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score",
-                    F.round(_dot(F.col("cv"), F.col("qv"))
-                            / (F.col("cn") * F.col("qn")), round_to))
+        .withColumn("score", _candidate_score(round_to, arrow))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id"))
