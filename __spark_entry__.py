@@ -1549,7 +1549,7 @@ LIMIT 25
                      AS t
               FROM documents GROUP BY lang)
             SELECT d.doc_id, d.lang, d.n_chars
-            FROM documents d JOIN th USING (lang)
+            FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
             WHERE d.n_chars >= th.t""",
         "quality_quantiles": """
             SELECT lang,

@@ -144,7 +144,7 @@ def main() -> None:
                 for r in results if "kept=" in (r.execution_message or ""))
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
@@ -157,6 +157,30 @@ def main() -> None:
         "steal_sec": _steal_sec(bench_steal0),
         "queries_steal": steals,
         "pipeline_steal_sec": pipe_steal,
+    }
+    full_line = json.dumps(payload)
+    # the full line first (humans + whole-output parsers), the whole
+    # payload to a file the driver can read intact, and a SHORT summary
+    # line LAST: the r3 driver artifact recorded parsed:null because its
+    # tail window truncated the head of the long line (VERDICT r3 #4)
+    print(full_line)
+    out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT",
+                              os.path.join(os.path.dirname(
+                                  os.path.abspath(__file__)),
+                                  "BENCH_local.json"))
+    with open(out_file, "w") as fh:
+        fh.write(full_line + "\n")
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "pipeline_docs_per_sec": payload["pipeline_docs_per_sec"],
+        "steal_sec": payload["steal_sec"],
+        "pipeline_steal_sec": pipe_steal,
+        "queries_file": "BENCH_local.json",
     }))
     spark.stop()
 

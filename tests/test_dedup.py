@@ -224,6 +224,29 @@ class TestIncrementalMinhash:
         # and the appended near-dup is actually found: 4 pairs with 3
         assert any(a == 3 for a, _, _ in got)
 
+    def test_recrawled_doc_size_conflict_resolved(self, docs, tmp_path):
+        # ADVICE r3: a doc_id present in BOTH the index and the new
+        # batch with changed text must contribute exactly one size row
+        # (the new batch's), never fan the jaccard join out.
+        path = str(tmp_path / "mh_recrawl")
+        dedup.minhash_index_write(docs.filter("doc_id <= 3"), path)
+        spark = docs.sparkSession
+        # re-crawl doc 3 with different (longer) text + probe doc 9,
+        # an exact copy of indexed doc 0 → expect the (0, 9) pair once
+        d0 = docs.filter("doc_id = 0").collect()[0]["text"]
+        batch = spark.createDataFrame(
+            [(3, "completely different re-crawled body of text now"),
+             (9, d0)], "doc_id long, text string")
+        got = dedup.incremental_minhash_pairs(batch, path,
+                                              threshold=0.5).collect()
+        by_pair = {}
+        for r in got:
+            by_pair.setdefault((r["id1"], r["id2"]), []).append(
+                r["jaccard"])
+        # no duplicate rows for any pair (the fan-out the fix removes)
+        assert all(len(v) == 1 for v in by_pair.values())
+        assert (0, 9) in by_pair and by_pair[(0, 9)] == [1.0]
+
     def test_params_sidecar_respected(self, docs, tmp_path):
         path = str(tmp_path / "mh_n4")
         dedup.minhash_index_write(docs.filter("doc_id <= 2"), path, n=4,

@@ -162,6 +162,19 @@ class TestAsofDirections:
                         direction="forward").collect()
         assert got[0]["right_rid"] == 901   # min wins (mirror of backward)
 
+    def test_null_tiebreak_loses_ties_both_directions(self, spark):
+        # ADVICE r3: a NULL tiebreak must lose equal-ts ties in BOTH
+        # directions (backward: asc NULLS FIRST already loses; forward
+        # needs desc_nulls_first, not plain desc).
+        left = _df(spark, [(1, 7, 10.0)], "lid long, k long, ts double")
+        right = _df(spark, [(None, 7, 10.0), (901, 7, 10.0)],
+                    "rid long, k long, ts double")
+        back = asof_join(left, right, by="k", tiebreak="rid").collect()
+        fwd = asof_join(left, right, by="k", tiebreak="rid",
+                        direction="forward").collect()
+        assert back[0]["right_rid"] == 901  # max non-null wins
+        assert fwd[0]["right_rid"] == 901   # min non-null wins; NULL loses
+
     def test_nearest_picks_closer_and_ties_backward(self, spark):
         left, right = self._data(spark)
         out = {r["lid"]: r["right_rid"] for r in asof_join(

@@ -142,6 +142,17 @@ class TestTokenBudgetNulls:
             .filter(F.col("pre") < 60).collect())
         assert got2 == ref
 
+    def test_non_numeric_order_col_raises(self, spark):
+        # ADVICE r3: a string order_col would CAST-fail under ANSI or
+        # silently NULL-bucket (dropping rows) otherwise — raise up
+        # front instead.
+        import pytest as _pt
+        df = spark.createDataFrame(
+            [("g", 1, 10, "2024-01-01")],
+            "g string, doc_id long, n long, day string")
+        with _pt.raises(TypeError, match="order_col"):
+            token_budget_filter(df, 100, "n", "g", order_col="day")
+
 
 class TestStratifiedSample:
     def test_per_stratum_rates_and_determinism(self, spark):
@@ -189,6 +200,18 @@ class TestQuantileFilter:
         low = quantile_filter(df, "v", "g", 0.5, keep="le")
         assert sorted(r["v"] for r in low.collect() if r["g"] == "a") \
             == list(range(1, 51))
+
+    def test_null_group_rows_filtered_not_dropped(self, spark):
+        # ADVICE r3: NULL-lang rows must be filtered against their own
+        # group's quantile, not silently dropped by the threshold join.
+        from validatelite_spark.operators.sampling import quantile_filter
+        rows = [("a", i, i) for i in range(1, 11)]
+        rows += [(None, 100 + i, i) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "g string, k long, v long")
+        kept = quantile_filter(df, "v", "g", 0.5, keep="ge").collect()
+        null_vals = sorted(r["v"] for r in kept if r["g"] is None)
+        # NULL group median = 5.5 → keep 6..10 (its own threshold)
+        assert null_vals == [6, 7, 8, 9, 10]
 
     def test_threshold_join_is_broadcast(self, spark):
         from validatelite_spark.operators.sampling import quantile_filter

@@ -86,3 +86,80 @@ class TestIndexDedupStream:
             assert kept2 == {2, 4}
         finally:
             q.stop()
+
+    def test_within_batch_near_dups_collapse(self, spark, tmp_path):
+        """ADVICE r3: two near-dups arriving in the SAME micro-batch
+        must not both be kept — one representative (min id) survives."""
+        from validatelite_spark.operators.dedup import minhash_index_write
+        from validatelite_spark.streaming.index_dedup import (
+            index_dedup_batch)
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the green forest near the river bank")
+        other = ("completely different words about cooking pasta with "
+                 "tomato sauce garlic basil and olive oil at home")
+        idx = str(tmp_path / "index")
+        out = str(tmp_path / "out")
+        seed = spark.createDataFrame([(0, other)],
+                                     "doc_id long, text string")
+        minhash_index_write(seed, idx)
+        batch = spark.createDataFrame(
+            [(5, base), (6, base + " today"), (7, base + " now")],
+            "doc_id long, text string")
+        index_dedup_batch(batch, idx, out, threshold=0.5)
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {5}  # 6 and 7 near-dup 5 within the batch
+
+    def test_replayed_batch_is_exactly_once(self, spark, tmp_path):
+        """Round-3 verdict #8: replaying a batch id must yield an
+        identical corpus + index. Ledger skips a fully-processed
+        replay; a forced double-append (ledger removed — the
+        crash-between-append-and-marker case) is erased exactly by
+        compaction + deduped read."""
+        import os
+
+        from validatelite_spark.operators.dedup import (
+            incremental_minhash_pairs, minhash_index_write)
+        from validatelite_spark.streaming.index_dedup import (
+            _marker_path, compact_minhash_index, index_dedup_batch,
+            read_deduped_corpus)
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the green forest near the river bank")
+        other = ("completely different words about cooking pasta with "
+                 "tomato sauce garlic basil and olive oil at home")
+        idx = str(tmp_path / "index")
+        out = str(tmp_path / "out")
+        seed = spark.createDataFrame([(0, base)],
+                                     "doc_id long, text string")
+        minhash_index_write(seed, idx)
+        batch = spark.createDataFrame(
+            [(1, base + " today"), (2, other)],
+            "doc_id long, text string")
+
+        index_dedup_batch(batch, idx, out, threshold=0.5, batch_id=7)
+        corpus1 = sorted(map(tuple, spark.read.parquet(out).collect()))
+        bands1 = spark.read.parquet(f"{idx}/bands").count()
+
+        # replay with marker present → complete no-op
+        index_dedup_batch(batch, idx, out, threshold=0.5, batch_id=7)
+        assert sorted(map(tuple,
+                          spark.read.parquet(out).collect())) == corpus1
+        assert spark.read.parquet(f"{idx}/bands").count() == bands1
+
+        # crash-window replay: marker lost → double-append happens,
+        # compaction + deduped read restore the exact single-run state
+        os.remove(_marker_path(idx, 7))
+        index_dedup_batch(batch, idx, out, threshold=0.5, batch_id=7)
+        assert spark.read.parquet(f"{idx}/bands").count() > bands1
+        compact_minhash_index(spark, idx)
+        assert spark.read.parquet(f"{idx}/bands").count() == bands1
+        assert sorted(map(tuple,
+                          read_deduped_corpus(spark, out).collect())) \
+            == corpus1
+        # and the compacted index still probes correctly
+        probe = spark.createDataFrame([(9, other + " again")],
+                                      "doc_id long, text string")
+        got = incremental_minhash_pairs(probe, idx,
+                                        threshold=0.5).collect()
+        assert {(r["id1"], r["id2"]) for r in got} == {(2, 9)}

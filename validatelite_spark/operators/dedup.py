@@ -450,7 +450,18 @@ def incremental_minhash_pairs(
         .join(e2, ["id2", "s"])
         .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common"))
     )
-    sizes = (old_sz.unionByName(t_new.select("k", "sz")).distinct())
+    # one size per key, the NEW batch's row winning: a re-crawled doc
+    # whose text changed would otherwise survive distinct() as two
+    # (k, sz) rows and fan the size join out into duplicate/incorrect
+    # jaccard rows (ADVICE r3). Note the probe's common-shingle counts
+    # still come from the STALE stored shingles for such a doc until
+    # the index is rewritten — the size is just the consistent half.
+    sizes = (old_sz.select("k", "sz", F.lit(0).alias("__new"))
+             .unionByName(t_new.select("k", "sz",
+                                       F.lit(1).alias("__new")))
+             .groupBy("k")
+             .agg(F.max(F.struct("__new", "sz")).alias("__w"))
+             .select("k", F.col("__w.sz").alias("sz")))
     return _jaccard_from_common(common, sizes, threshold)
 
 

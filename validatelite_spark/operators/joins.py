@@ -124,10 +124,13 @@ def asof_join(
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # forward = the identical running-last carry over the REVERSE scan:
     # ts desc; right still sorts before left at equal ts (inclusive);
-    # tb desc so the last-seen equal-ts right is the MIN tiebreak
+    # tb desc so the last-seen equal-ts right is the MIN tiebreak.
+    # desc_nulls_first: a NULL tiebreak must be scanned FIRST (= lose
+    # equal-ts ties) exactly as asc NULLS FIRST makes it lose in the
+    # backward scan — plain desc would scan it last and win (ADVICE r3)
     w_f = (Window.partitionBy(*part_cols)
            .orderBy(F.col("__ts").desc(), F.col("__is_l").asc(),
-                    F.col("__tb").desc())
+                    F.col("__tb").desc_nulls_first())
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = l.unionByName(r)
     if direction == "backward":

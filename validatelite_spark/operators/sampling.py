@@ -94,6 +94,17 @@ def token_budget_filter(
     ``key_col``, which range-bucketing on the order column cannot split).
     """
     order_col = order_col or token_col
+    # range bucketing casts order_col to double: a non-numeric order
+    # column would raise CAST_INVALID_INPUT under ANSI mode — or, under
+    # non-ANSI sessions, yield NULL buckets whose join silently drops
+    # every row. Fail loudly up front instead (ADVICE r3).
+    from pyspark.sql.types import NumericType, TimestampType
+    ot = df.schema[order_col].dataType
+    if not isinstance(ot, (NumericType, TimestampType)):
+        raise TypeError(
+            f"token_budget_filter order_col {order_col!r} must be "
+            f"numeric or timestamp (got {ot.simpleString()}) — range "
+            "bucketing needs a castable order; use a numeric sort key")
     intra = [F.col(order_col)]
     if key_col:
         intra.append(F.col(key_col))
@@ -207,12 +218,17 @@ def quantile_filter(
     pct = (F.approx_percentile(value_col, F.lit(q),
                                F.lit(approx_accuracy)) if approx
            else F.percentile(value_col, F.lit(q)))
-    th = (df.groupBy(by)
+    th = (df.groupBy(F.col(by).alias("__gk"))
           .agg(F.round(pct + 1e-9, round_to).alias("__th")))
-    joined = df.join(F.broadcast(th), by)
+    # NULL-SAFE join on the native group key: a plain equi-join would
+    # silently DROP every NULL-group row instead of filtering it
+    # against its own group's quantile (same contract as
+    # token_budget_filter / temperature_sample; oracle uses
+    # IS NOT DISTINCT FROM)
+    joined = df.join(F.broadcast(th), F.col(by).eqNullSafe(F.col("__gk")))
     pred = (F.col(value_col) >= F.col("__th") if keep == "ge"
             else F.col(value_col) <= F.col("__th"))
-    return joined.filter(pred).drop("__th")
+    return joined.filter(pred).drop("__th", "__gk")
 
 
 def temperature_sample(

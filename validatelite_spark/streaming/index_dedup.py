@@ -1,29 +1,56 @@
 """Streaming dedup against a persisted MinHash corpus index — the
-rolling-crawl shape: each micro-batch is near-dup-checked against
-EVERYTHING already kept (batch or streaming), survivors are written out
-AND folded into the index so later batches see them.
+rolling-crawl shape: each micro-batch is first near-dup-deduped WITHIN
+itself (keep one representative per near-dup component), then checked
+against everything already kept (batch or streaming); survivors are
+written out AND folded into the index so later batches see them.
 
 ``applyInPandasWithState`` (streaming/stateful_dedup.py) handles exact
 dedup with in-state fingerprints, but near-dup state (shingle sets)
 is far too large for the state store; the index on the shared FS IS the
 state. ``foreachBatch`` gives each micro-batch the full batch-DataFrame
-API, so the same ``incremental_minhash_pairs`` operator runs unchanged —
-batch and streaming dedup cannot drift apart.
+API, so the same ``incremental_minhash_pairs`` / ``minhash_lsh_pairs``
+operators run unchanged — batch and streaming dedup cannot drift apart.
 
-Exactly-once caveat: foreachBatch is at-least-once on retries; both
-writes are parquet appends, so a replayed batch can double-append.
-Spark's checkpoint makes replays rare; for strict exactly-once, point
-``output_path`` at an Iceberg/Delta table and dedupe the index by
-(k, s) on compaction — the operator output is idempotent-by-content.
+Exactly-once: foreachBatch replays batches on retry, and plain parquet
+appends would double-append. Three layers close that (round-3 verdict
+item 8; no transactional table format needed, though Iceberg/Delta
+remain the drop-in upgrade):
+
+1. **Batch ledger** — after both appends succeed, a marker file
+   ``_batches/<epoch_id>`` is written; a replayed epoch whose marker
+   exists is skipped entirely. This removes the common replay (retry
+   after full success).
+2. **Deterministic content** — the kept set and every appended row are
+   pure functions of (batch content, index state); a replay that DOES
+   re-append (crash between the appends and the marker) writes
+   byte-identical rows, never conflicting ones. (A doc of the batch
+   already folded into the index never knocks itself out on replay:
+   the cross probe filters ``id1 != id2``.)
+3. **Content-idempotent compaction** — ``compact_minhash_index``
+   rewrites the index distinct on its natural keys ((k, band, sig) /
+   (k, s) / (k, sz)) and ``read_deduped_corpus`` reads the output
+   corpus distinct on the doc key, so duplicated appends from layer-2
+   replays are erased exactly. Run compaction after a crash-recovery
+   (or periodically); reads via ``read_deduped_corpus`` are always
+   correct.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from validatelite_spark.operators.dedup import (incremental_minhash_pairs,
-                                                minhash_index_append)
+from validatelite_spark.operators.dedup import (dedup_groups,
+                                                incremental_minhash_pairs,
+                                                keep_representatives,
+                                                minhash_index_append,
+                                                minhash_lsh_pairs)
+
+
+def _marker_path(index_path: str, batch_id: int) -> str:
+    return os.path.join(index_path, "_batches", str(batch_id))
 
 
 def index_dedup_batch(
@@ -33,9 +60,29 @@ def index_dedup_batch(
     text_col: str = "text",
     key_col: str = "doc_id",
     threshold: float = 0.7,
+    batch_id: int | None = None,
+    within_batch: bool = True,
 ) -> None:
-    """Process ONE micro-batch: drop docs near-duplicating the index,
-    append survivors to ``output_path`` and to the index itself."""
+    """Process ONE micro-batch: dedup within the batch, drop docs
+    near-duplicating the index, append survivors to ``output_path`` and
+    to the index itself.
+
+    ``within_batch=True`` (default) first removes near-dup pairs INSIDE
+    the batch (one representative per connected component — min doc id),
+    closing the gap where two near-dups arriving in the same micro-batch
+    were both kept and folded into the index permanently (ADVICE r3).
+
+    ``batch_id``: when given (the stream passes foreachBatch's epoch
+    id), a ledger marker makes replays of fully-processed batches
+    no-ops — see the module docstring's exactly-once contract."""
+    if batch_id is not None and os.path.exists(
+            _marker_path(index_path, batch_id)):
+        return
+    if within_batch:
+        pairs_b = minhash_lsh_pairs(batch, text_col, key_col,
+                                    threshold=threshold)
+        groups = dedup_groups(pairs_b)
+        batch = keep_representatives(batch, groups, key_col)
     pairs = incremental_minhash_pairs(batch, index_path, text_col,
                                       key_col, threshold)
     dup_ids = pairs.select(F.col("id2").alias(key_col)).distinct()
@@ -45,6 +92,35 @@ def index_dedup_batch(
     kept = kept.localCheckpoint()
     kept.write.mode("append").parquet(output_path)
     minhash_index_append(kept, index_path, text_col, key_col)
+    if batch_id is not None:
+        os.makedirs(os.path.join(index_path, "_batches"), exist_ok=True)
+        with open(_marker_path(index_path, batch_id), "w") as fh:
+            fh.write("done")
+
+
+def compact_minhash_index(spark: SparkSession, index_path: str) -> None:
+    """Rewrite the index distinct on each table's natural key — erases
+    double-appends from replayed micro-batches exactly, because every
+    append writes deterministic content (module docstring layer 3).
+    Driver-side directory swap: fine on a posix/shared FS; on object
+    stores prefer the Iceberg/Delta upgrade path."""
+    import shutil
+
+    for sub in ("bands", "shingles", "docs"):
+        src = os.path.join(index_path, sub)
+        tmp = os.path.join(index_path, f"_{sub}_compacting")
+        spark.read.parquet(src).distinct().write.mode(
+            "overwrite").parquet(tmp)
+        shutil.rmtree(src)
+        os.rename(tmp, src)
+
+
+def read_deduped_corpus(spark: SparkSession, output_path: str,
+                        key_col: str = "doc_id") -> DataFrame:
+    """Read the streamed output corpus with replay-duplicate rows
+    removed (one row per doc key — appended rows for a key are
+    identical by construction)."""
+    return spark.read.parquet(output_path).dropDuplicates([key_col])
 
 
 def start_index_dedup_stream(
@@ -55,13 +131,15 @@ def start_index_dedup_stream(
     text_col: str = "text",
     key_col: str = "doc_id",
     threshold: float = 0.7,
+    within_batch: bool = True,
 ):
     """readStream → near-dup-vs-index filter → append survivors; the
     index grows with each batch so later batches dedup against earlier
     ones. Returns the started StreamingQuery."""
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         index_dedup_batch(batch_df, index_path, output_path,
-                          text_col, key_col, threshold)
+                          text_col, key_col, threshold,
+                          batch_id=batch_id, within_batch=within_batch)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_path)
