@@ -1068,6 +1068,55 @@ def _q_line_dedup(spark, sf_dir):
         F.length("text_dedup").alias("n"))
 
 
+def _lines_corpus(spark, sf_dir):
+    # the documents corpus is single-line; word-split it (space → \n)
+    # so line-granularity operators run over real multi-line docs with
+    # genuinely shared lines — byte-reproducible in DuckDB via
+    # replace(text, ' ', chr(10))
+    return (_read(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.translate("text", " ", "\n").alias("text")))
+
+
+def _q_top_lines(spark, sf_dir):
+    # boilerplate-line mining (operators/lines.py top_lines): the
+    # blocklist feed for strip_blocklisted_lines / the BOILERPLATE
+    # rule. Partial-agg rollup + TakeOrderedAndProject top-k.
+    from validatelite_spark.operators.lines import top_lines
+    return top_lines(_lines_corpus(spark, sf_dir), "text", "doc_id",
+                     k=25, min_docs=2)
+
+
+def _q_boilerplate_strip(spark, sf_dir):
+    # the mine → blocklist → apply loop end-to-end (VERDICT r3 #9):
+    # top_lines output feeds strip_blocklisted_lines over the same
+    # corpus; whole chain replayed in one DuckDB SQL.
+    from validatelite_spark.operators.lines import (
+        strip_blocklisted_lines, top_lines)
+    docs = _lines_corpus(spark, sf_dir)
+    bl = top_lines(docs, "text", "doc_id", k=25, min_docs=2)
+    out = strip_blocklisted_lines(docs, bl, "text", "doc_id")
+    return out.select("doc_id", F.md5("text_clean").alias("fp"),
+                      F.length("text_clean").alias("n"))
+
+
+def _q_boilerplate_rule(spark, sf_dir):
+    # BOILERPLATE as an ENGINE rule: blocklist mined by top_lines,
+    # compiled through the registry into the standard metrics aggregate
+    from validatelite_spark.core.rules import Rule
+    from validatelite_spark.operators.lines import top_lines
+    from validatelite_spark.plans.compiler import compile_rule
+    df = _lines_corpus(spark, sf_dir)
+    mined = [r["line"]
+             for r in top_lines(df, k=25, min_docs=2).collect()]
+    fail = compile_rule(
+        Rule("BOILERPLATE", "text", {"lines": mined, "max_frac": 0.5})
+    ).fail_predicate
+    return df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.when(fail, 1).otherwise(0)).alias("failed_records"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     # per-stratum deterministic sampling (the data-mix knob): exact row
     # set verified — md5 arithmetic is engine-portable
@@ -1196,6 +1245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "token_budget": _q_token_budget,
         "line_dedup": _q_line_dedup,
+        "top_lines": _q_top_lines,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,
         "stratified_sample": _q_stratified_sample,
         "quantile_filter": _q_quantile_filter,
@@ -1514,6 +1566,68 @@ HAVING count(*) >= 2
 ORDER BY occurrences DESC, n_docs DESC, ngram
 LIMIT 25
 """.replace("{toks}", _d_tokens("text")),
+        "top_lines": """
+WITH pd AS (
+  SELECT doc_id, line, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split(replace(text, ' ', chr(10)),
+                                   chr(10))) AS line
+        FROM documents WHERE text IS NOT NULL)
+  WHERE length(line) >= 1
+  GROUP BY 1, 2)
+SELECT line, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS occurrences
+FROM pd GROUP BY line HAVING count(*) >= 2
+ORDER BY occurrences DESC, n_docs DESC, line
+LIMIT 25""",
+        "boilerplate_strip": """
+WITH pd AS (
+  SELECT doc_id, line, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split(replace(text, ' ', chr(10)),
+                                   chr(10))) AS line
+        FROM documents WHERE text IS NOT NULL)
+  WHERE length(line) >= 1
+  GROUP BY 1, 2),
+bl AS (
+  SELECT line FROM pd GROUP BY line HAVING count(*) >= 2
+  ORDER BY CAST(sum(c) AS BIGINT) DESC, count(*) DESC, line
+  LIMIT 25),
+bll AS (SELECT list(line) AS ls FROM bl),
+cleaned AS (
+  SELECT d.doc_id,
+         CASE WHEN d.text IS NULL THEN NULL
+              -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+              -- concat_ws over an empty array is ''
+              ELSE coalesce(array_to_string(
+                list_filter(string_split(replace(d.text, ' ', chr(10)),
+                                         chr(10)),
+                    x -> NOT list_contains(b.ls, x)),
+                chr(10)), '') END AS tc
+  FROM documents d, bll b)
+SELECT doc_id, md5(tc) AS fp, length(tc) AS n FROM cleaned""",
+        "boilerplate_rule": """
+WITH pd AS (
+  SELECT doc_id, line, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split(replace(text, ' ', chr(10)),
+                                   chr(10))) AS line
+        FROM documents WHERE text IS NOT NULL)
+  WHERE length(line) >= 1
+  GROUP BY 1, 2),
+bl AS (
+  SELECT line FROM pd GROUP BY line HAVING count(*) >= 2
+  ORDER BY CAST(sum(c) AS BIGINT) DESC, count(*) DESC, line
+  LIMIT 25),
+bll AS (SELECT list(line) AS ls FROM bl)
+SELECT count(*) AS total_records,
+       CAST(count(*) FILTER (WHERE text IS NULL OR
+            len(list_filter(string_split(replace(text, ' ', chr(10)),
+                                         chr(10)),
+                x -> list_contains(b.ls, x))) * 1.0
+              / len(string_split(replace(text, ' ', chr(10)),
+                                 chr(10))) > 0.5) AS BIGINT)
+         AS failed_records
+FROM documents, bll b""",
         "temperature_sample": """
             WITH c AS (SELECT lang AS s, count(*) AS c
                        FROM documents GROUP BY 1),

@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "interval_overlap",
     "temperature_sample",
     "cap_per_source",
+    # round 4
+    "top_lines",
+    "boilerplate_strip",
 ]
 
 

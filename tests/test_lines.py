@@ -95,3 +95,63 @@ class TestLineDedup:
         got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
         assert got[0] == "unique 0\ncookie banner"
         assert all(got[i] == f"unique {i}" for i in range(1, 200))
+
+
+class TestBoilerplateLoop:
+    """VERDICT r3 #9: mine (top_lines) → blocklist → apply (strip /
+    BOILERPLATE rule) — the full loop on a planted boilerplate corpus."""
+
+    BANNER = "accept cookies to continue"
+    FOOTER = "all rights reserved"
+
+    def _corpus(self, spark):
+        rows = [(i, f"{self.BANNER}\nunique body {i}\n{self.FOOTER}")
+                for i in range(10)]
+        rows.append((10, f"{self.BANNER}\n{self.FOOTER}"))  # all chrome
+        rows.append((11, None))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_top_lines_finds_planted_banner(self, spark):
+        from validatelite_spark.operators.lines import top_lines
+        got = top_lines(self._corpus(spark), k=5).collect()
+        assert [r["line"] for r in got[:2]] == [self.BANNER, self.FOOTER]
+        assert got[0]["n_docs"] == 11 and got[0]["occurrences"] == 11
+        # singleton body lines pruned by min_docs
+        assert all("unique body" not in r["line"] for r in got)
+
+    def test_strip_blocklisted_lines(self, spark):
+        from validatelite_spark.operators.lines import (
+            strip_blocklisted_lines, top_lines)
+        docs = self._corpus(spark)
+        bl = top_lines(docs, k=5)  # mined, not hand-written
+        got = {r["doc_id"]: r["text_clean"]
+               for r in strip_blocklisted_lines(docs, bl).collect()}
+        assert got[0] == "unique body 0"
+        assert got[10] == ""       # all-boilerplate doc
+        assert got[11] is None     # NULL stays NULL
+
+    def test_boilerplate_rule_via_engine(self, spark):
+        from validatelite_spark.core.rules import Rule
+        from validatelite_spark.operators.engine import RuleEngine
+        from validatelite_spark.operators.lines import top_lines
+        docs = self._corpus(spark)
+        mined = [r["line"] for r in top_lines(docs, k=5).collect()]
+        assert self.BANNER in mined
+        (res,) = RuleEngine(spark).execute(docs, [
+            Rule("BOILERPLATE", "text",
+                 {"lines": mined, "max_frac": 0.5},
+                 name="boilerplate_text")])
+        # docs 0-9: 2/3 lines blocklisted > 0.5 → fail; doc 10: 2/2 →
+        # fail; doc 11 NULL → fail (completeness semantics)
+        assert res.failed_records == 12
+        assert res.execution_plan["execution_type"] == "merged_agg"
+
+    def test_rule_passes_clean_corpus(self, spark):
+        from validatelite_spark.core.rules import Rule
+        from validatelite_spark.operators.engine import RuleEngine
+        docs = spark.createDataFrame(
+            [(0, "a\nb\nc"), (1, "d\ne")], "doc_id long, text string")
+        (res,) = RuleEngine(spark).execute(docs, [
+            Rule("BOILERPLATE", "text",
+                 {"lines": ["zz not present"], "max_frac": 0.1})])
+        assert res.failed_records == 0

