@@ -351,6 +351,17 @@ def _q_simhash_md5(spark, sf_dir):
                          hash_fn="md5")
 
 
+def _q_simhash_md5_blocks(spark, sf_dir):
+    """The SCALE banding (Manku block-combination keys, blocks=6 → 20
+    bands of ~32-bit keys) against the SAME oracle as simhash_pairs_md5
+    — driver-proves the web-scale candidate path returns identical
+    pairs to the single-block anchor (pigeonhole recall 1 on both)."""
+    from validatelite_spark.operators.dedup import simhash_pairs
+    df = _read(spark, sf_dir, "documents")
+    return simhash_pairs(df, "text", "doc_id", max_distance=3,
+                         hash_fn="md5", blocks=6)
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher repetition signals (Rae et al. 2021 A1.1): per-doc
     duplicate-trigram fraction + top-trigram share."""
@@ -1117,6 +1128,73 @@ def _q_boilerplate_rule(spark, sf_dir):
         F.sum(F.when(fail, 1).otherwise(0)).alias("failed_records"))
 
 
+def _messy_urls(spark, sf_dir):
+    # deterministic crawl-shaped url variants per doc (5 per host+path
+    # group: casing, default port, www, fragment, tracking params) —
+    # byte-reproducible in DuckDB (_MESSY_URL_SQL) so url
+    # canonicalization + url dedup are fully value-hash-checked
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    g = F.floor(i / 5).cast("string")
+    h = F.concat(F.lit("h"), F.pmod(F.floor(i / 5), F.lit(20))
+                 .cast("string"))
+    m = F.pmod(i, F.lit(5))
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://"), F.upper(h),
+                                F.lit(".EXAMPLE.COM:443/page/"), g,
+                                F.lit("?utm_source=x")))
+        .when(m == 1, F.concat(F.lit("https://"), h,
+                               F.lit(".example.com/page/"), g,
+                               F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("https://"), h,
+                               F.lit(".example.com/page/"), g,
+                               F.lit("?id="),
+                               F.pmod(i, F.lit(7)).cast("string"),
+                               F.lit("&utm_b=2")))
+        .when(m == 3, F.concat(F.lit("http://"), h,
+                               F.lit(".example.com:80/page/"), g))
+        .otherwise(F.concat(F.lit("https://www."), h,
+                            F.lit(".example.com/page/"), g)))
+    return d.select("doc_id", url.alias("url"))
+
+
+_MESSY_URL_SQL = """
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'HTTPS://' || upper('h' ||
+        CAST((doc_id // 5) % 20 AS VARCHAR)) ||
+        '.EXAMPLE.COM:443/page/' || CAST(doc_id // 5 AS VARCHAR) ||
+        '?utm_source=x'
+      WHEN 1 THEN 'https://h' || CAST((doc_id // 5) % 20 AS VARCHAR) ||
+        '.example.com/page/' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+      WHEN 2 THEN 'https://h' || CAST((doc_id // 5) % 20 AS VARCHAR) ||
+        '.example.com/page/' || CAST(doc_id // 5 AS VARCHAR) ||
+        '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_b=2'
+      WHEN 3 THEN 'http://h' || CAST((doc_id // 5) % 20 AS VARCHAR) ||
+        '.example.com:80/page/' || CAST(doc_id // 5 AS VARCHAR)
+      ELSE 'https://www.h' || CAST((doc_id // 5) % 20 AS VARCHAR) ||
+        '.example.com/page/' || CAST(doc_id // 5 AS VARCHAR)
+    END"""
+
+
+def _q_canonical_urls(spark, sf_dir):
+    # url canonicalization (functions/urls.py) over the synthetic messy
+    # variants — every normalization step value-hash-checked vs the
+    # DuckDB replay
+    from validatelite_spark.functions.urls import canonical_url
+    u = _messy_urls(spark, sf_dir)
+    return u.select("doc_id",
+                    canonical_url(F.col("url")).alias("canonical"))
+
+
+def _q_url_dedup(spark, sf_dir):
+    # canonical-url dedup (operators/dedup.py url_dedup): the crawl
+    # pipeline's first dedup stage — min-key representative per
+    # canonical url via the map-side min-struct shape (no Window)
+    from validatelite_spark.operators.dedup import url_dedup
+    u = _messy_urls(spark, sf_dir)
+    return url_dedup(u, "url", "doc_id")
+
+
 def _q_stratified_sample(spark, sf_dir):
     # per-stratum deterministic sampling (the data-mix knob): exact row
     # set verified — md5 arithmetic is engine-portable
@@ -1211,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
         "simhash_pairs_md5": _q_simhash_md5,
+        "simhash_pairs_md5_blocks": _q_simhash_md5_blocks,
         "repetition_signals": _q_repetition,
         "repetition_rule": _q_repetition_rule,
         "decontaminate": _q_decontaminate,
@@ -1246,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": _q_token_budget,
         "line_dedup": _q_line_dedup,
         "top_lines": _q_top_lines,
+        "canonical_urls": _q_canonical_urls,
+        "url_dedup": _q_url_dedup,
         "boilerplate_strip": _q_boilerplate_strip,
         "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,
@@ -1764,6 +1845,22 @@ FROM documents, bll b""",
     # IVF with n_probe == n_centroids is exhaustive → same oracle
     out["ann_ivf"] = out["ann_bruteforce"]
     out["ann_ivf_index"] = out["ann_bruteforce"]
+    # Manku block-combination banding returns identical pairs
+    # (pigeonhole recall 1 on both bandings) → same oracle
+    out["simhash_pairs_md5_blocks"] = out["simhash_pairs_md5"]
+    from validatelite_spark.functions.urls import duckdb_canonical_url_sql
+    _canon = duckdb_canonical_url_sql("url")
+    out["canonical_urls"] = f"""
+        WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url
+                   FROM documents)
+        SELECT doc_id, {_canon} AS canonical FROM u"""
+    out["url_dedup"] = f"""
+        WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url
+                   FROM documents),
+        c AS (SELECT doc_id, url, {_canon} AS cu FROM u),
+        w AS (SELECT cu, min(doc_id) AS k FROM c GROUP BY cu)
+        SELECT c.doc_id, c.url
+        FROM c JOIN w ON c.cu = w.cu AND c.doc_id = w.k"""
     out["curation_end_to_end"] = _curation_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

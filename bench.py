@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     # round 4
     "top_lines",
     "boilerplate_strip",
+    "url_dedup",
 ]
 
 

@@ -3,7 +3,13 @@
 entry on Spark and its oracle_sql() on DuckDB at the given sf dir,
 compare row count, sorted column names, and order-insensitive values.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes a driver-format artifact ({name: {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}}) so every
+round commits durable rows+schema+values evidence for ALL queries()
+entries, not just the subset the driver happens to record
+(VERDICT r3 #4).
 """
 
 from __future__ import annotations
@@ -43,8 +49,14 @@ def frame_signature(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -66,12 +78,21 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark: {e}"[:500]}
             failures += 1
             continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) "
                   f"[{spark_t:.1f}s]")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None,
+                            "spark_rows": len(srows),
+                            "oracle_rows": None, "err": None,
+                            "no_oracle": True}
             continue
         t0 = time.time()
         try:
@@ -80,11 +101,21 @@ def main():
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False,
+                            "spark_rows": len(srows),
+                            "oracle_rows": None,
+                            "err": f"duckdb: {e}"[:500]}
             failures += 1
             continue
         duck_t = time.time() - t0
         sn, sb = frame_signature(scols, srows)
         dn, db = frame_signature(dcols, drows)
+        report[name] = {"rows_match": len(sb) == len(db),
+                        "schema_match": sn == dn,
+                        "hash_match": sb == db,
+                        "spark_rows": len(sb),
+                        "oracle_rows": len(db), "err": None}
         if sn != dn:
             print(f"FAIL  {name}: columns differ spark={sn} duck={dn}")
             failures += 1
@@ -102,6 +133,14 @@ def main():
             print(f"ok    {name}: {len(sb)} rows "
                   f"[spark {spark_t:.1f}s, duck {duck_t:.1f}s]")
     spark.stop()
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as fh:
+            _json.dump({"sf_dir": sf_dir, "queries": report,
+                        "n_queries": len(report),
+                        "n_failures": failures}, fh, indent=1,
+                       sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 

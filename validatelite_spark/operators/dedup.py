@@ -84,6 +84,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def url_dedup(df: DataFrame, url_col: str = "url",
+              key_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min key) per CANONICAL url
+    (functions/urls.py: fragment/tracking-param/default-port/www
+    normalization) — the first dedup stage of a crawl pipeline, before
+    any content dedup. NULL urls are all kept.
+
+    Same scale shape as ``exact_dedup``: winner per canonical url via a
+    map-side-combinable ``groupBy.agg(min(struct(key)))`` + join back —
+    a hot URL (one page crawled 10^6 times) collapses in the partial
+    aggregate, and AQE can split the residual skewed join partition."""
+    from validatelite_spark.functions.urls import canonical_url
+
+    cu = canonical_url(F.col(url_col))
+    winners = (df.filter(F.col(url_col).isNotNull())
+               .groupBy(cu.alias("__cu"))
+               .agg(F.min(F.struct(F.col(key_col))).alias("__w")))
+    return (
+        df.withColumn("__cu", cu)
+        .join(winners, "__cu", "left")
+        .filter(F.col(url_col).isNull()
+                | F.struct(F.col(key_col)).eqNullSafe(F.col("__w")))
+        .drop("__cu", "__w")
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      key_col: str = "doc_id") -> DataFrame:
     """(fingerprint, n_docs, keep_id) for every duplicated fingerprint."""
