@@ -1195,6 +1195,36 @@ def _q_url_dedup(spark, sf_dir):
     return url_dedup(u, "url", "doc_id")
 
 
+def _clf_weights() -> list[float]:
+    # deterministic pseudo-random weights on the 1/1024 dyadic grid
+    # (exact-sum argument in functions/classifier.py) — generated
+    # identically for the Spark plan and the DuckDB oracle
+    return [((i * 37) % 2049 - 1024) / 1024 for i in range(256)]
+
+
+def _q_classifier_scores(spark, sf_dir):
+    # fastText-style hashed-linear scoring (functions/classifier.py):
+    # explode → md5 bucket → literal-array weight → one partial-agg
+    # groupBy(doc); dyadic weights make the oracle comparison exact
+    from validatelite_spark.functions.classifier import classifier_scores
+    docs = _read(spark, sf_dir, "documents")
+    return classifier_scores(docs, _clf_weights(), bias=0.25)
+
+
+def _q_classifier_rule(spark, sf_dir):
+    # CLASSIFIER as an ENGINE rule (registered type, scalar HOF form)
+    from validatelite_spark.core.rules import Rule
+    from validatelite_spark.plans.compiler import compile_rule
+    df = _read(spark, sf_dir, "documents")
+    fail = compile_rule(
+        Rule("CLASSIFIER", "text",
+             {"weights": _clf_weights(), "bias": 0.25,
+              "min_score": 0.5})).fail_predicate
+    return df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.when(fail, 1).otherwise(0)).alias("failed_records"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     # per-stratum deterministic sampling (the data-mix knob): exact row
     # set verified — md5 arithmetic is engine-portable
@@ -1327,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_lines": _q_top_lines,
         "canonical_urls": _q_canonical_urls,
         "url_dedup": _q_url_dedup,
+        "classifier_scores": _q_classifier_scores,
+        "classifier_rule": _q_classifier_rule,
         "boilerplate_strip": _q_boilerplate_strip,
         "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,
@@ -1848,6 +1880,19 @@ FROM documents, bll b""",
     # Manku block-combination banding returns identical pairs
     # (pigeonhole recall 1 on both bandings) → same oracle
     out["simhash_pairs_md5_blocks"] = out["simhash_pairs_md5"]
+    from validatelite_spark.functions.classifier import duckdb_classifier_sql
+    _clf = duckdb_classifier_sql(_clf_weights(), 0.25, _d_tokens("text"))
+    out["classifier_scores"] = f"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE {_clf} END AS score
+        FROM documents"""
+    _clf_raw = duckdb_classifier_sql(_clf_weights(), 0.25,
+                                     _d_tokens("text"), round_to=None)
+    out["classifier_rule"] = f"""
+        SELECT count(*) AS total_records,
+               CAST(count(*) FILTER (WHERE text IS NULL OR
+                    {_clf_raw} < 0.5) AS BIGINT) AS failed_records
+        FROM documents"""
     from validatelite_spark.functions.urls import duckdb_canonical_url_sql
     _canon = duckdb_canonical_url_sql("url")
     out["canonical_urls"] = f"""

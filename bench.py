@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "top_lines",
     "boilerplate_strip",
     "url_dedup",
+    "classifier_scores",
 ]
 
 

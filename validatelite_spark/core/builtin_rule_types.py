@@ -60,6 +60,13 @@ def _compile_boilerplate(rule):
     return boilerplate_fail(F.col(rule.column), rule.parameters)
 
 
+def _compile_classifier(rule):
+    # hashed-linear (fastText-style) quality score threshold; weights
+    # are rule parameters (functions/classifier.py)
+    from validatelite_spark.functions.classifier import classifier_fail
+    return classifier_fail(F.col(rule.column), rule.parameters)
+
+
 def _ppl_params(params: dict) -> None:
     if params.get("max_ppl") is None and params.get("min_ppl") is None:
         raise ValueError("PERPLEXITY needs min_ppl and/or max_ppl")
@@ -88,6 +95,12 @@ def register_builtins(replace: bool = True) -> None:
         "REPETITION", _compile_repetition, tier="UDF",
         description=("duplicate-n-gram fraction must not exceed "
                      "max_dup_ngram_frac (Gopher repetition gate)"),
+        replace=replace)
+    register_rule_type(
+        "CLASSIFIER", _compile_classifier, tier="NATIVE",
+        param_schema={"required": ["weights"]},
+        description=("hashed-linear quality score must reach "
+                     "min_score (fastText-style, weights as params)"),
         replace=replace)
     register_rule_type(
         "BOILERPLATE", _compile_boilerplate, tier="NATIVE",
