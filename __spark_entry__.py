@@ -1064,6 +1064,23 @@ def _q_incremental_dedup(spark, sf_dir):
                                      threshold=0.5)
 
 
+def _q_incremental_exact(spark, sf_dir):
+    # exact-fingerprint twin of incremental_dedup: same engine-portable
+    # md5(doc_id) corpus/batch split, persisted (fp, k) index, batch
+    # deduped within itself then anti-joined on the digest
+    import hashlib
+    import tempfile
+    from validatelite_spark.operators.dedup import (
+        fingerprint_index_write, incremental_exact_dedup)
+    docs = _read(spark, sf_dir, "documents")
+    is_old = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/vlite_fp_index_{tag}"
+    fingerprint_index_write(docs.filter(is_old), path)
+    out = incremental_exact_dedup(docs.filter(~is_old), path)
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def _q_line_dedup(spark, sf_dir):
     # C4-style corpus-wide line dedup (operators/lines.py). The
     # documents corpus is single-line, so the query runs the operator's
@@ -1359,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "classifier_scores": _q_classifier_scores,
         "classifier_rule": _q_classifier_rule,
+        "incremental_exact": _q_incremental_exact,
         "boilerplate_strip": _q_boilerplate_strip,
         "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,
@@ -1893,6 +1911,25 @@ FROM documents, bll b""",
                CAST(count(*) FILTER (WHERE text IS NULL OR
                     {_clf_raw} < 0.5) AS BIGINT) AS failed_records
         FROM documents"""
+    out["incremental_exact"] = f"""
+        WITH old AS (
+          SELECT DISTINCT {_d_fingerprint('text')} AS fp
+          FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+            AND text IS NOT NULL),
+        batch AS (
+          SELECT * FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+        w AS (
+          SELECT {_d_fingerprint('text')} AS fp, min(doc_id) AS k
+          FROM batch WHERE text IS NOT NULL GROUP BY 1),
+        dedup AS (
+          SELECT b.* FROM batch b
+          LEFT JOIN w ON {_d_fingerprint('b.text')} = w.fp
+          WHERE b.text IS NULL OR b.doc_id = w.k)
+        SELECT d.doc_id, d.lang, d.n_chars FROM dedup d
+        WHERE d.text IS NULL
+           OR {_d_fingerprint('d.text')} NOT IN (SELECT fp FROM old)"""
     from validatelite_spark.functions.urls import duckdb_canonical_url_sql
     _canon = duckdb_canonical_url_sql("url")
     out["canonical_urls"] = f"""

@@ -263,6 +263,40 @@ class TestIncrementalMinhash:
         assert {(r["id1"], r["id2"]) for r in got} == {(0, 1), (2, 1)}
 
 
+class TestIncrementalExact:
+    def test_probe_drops_indexed_texts(self, docs, tmp_path):
+        path = str(tmp_path / "fpidx")
+        dedup.fingerprint_index_write(docs.filter("doc_id <= 3"), path)
+        spark = docs.sparkSession
+        d0 = docs.filter("doc_id = 0").collect()[0]["text"]
+        batch = spark.createDataFrame(
+            [(10, d0),            # exact copy of indexed doc 0 → drop
+             (11, "brand new text never seen before"),
+             (12, "brand new text never seen before"),  # in-batch dup
+             (13, None)],
+            "doc_id long, text string")
+        got = sorted(r["doc_id"] for r in dedup.incremental_exact_dedup(
+            batch, path).collect())
+        assert got == [11, 13]  # 10 vs index; 12 vs 11; NULL kept
+
+    def test_append_equals_rebuild(self, docs, tmp_path):
+        p1 = str(tmp_path / "fp_app")
+        dedup.fingerprint_index_write(docs.filter("doc_id <= 1"), p1)
+        dedup.fingerprint_index_append(docs.filter("doc_id IN (2, 3)"),
+                                       p1)
+        p2 = str(tmp_path / "fp_whole")
+        dedup.fingerprint_index_write(docs.filter("doc_id <= 3"), p2)
+        spark = docs.sparkSession
+        d3 = docs.filter("doc_id = 3").collect()[0]["text"]
+        batch = spark.createDataFrame([(20, d3), (21, "fresh")],
+                                      "doc_id long, text string")
+        a = sorted(r["doc_id"] for r in dedup.incremental_exact_dedup(
+            batch, p1).collect())
+        b = sorted(r["doc_id"] for r in dedup.incremental_exact_dedup(
+            batch, p2).collect())
+        assert a == b == [21]
+
+
 class TestMinHashLSH:
     def test_matches_exhaustive(self, docs):
         exact = {(r["id1"], r["id2"]): r["jaccard"]

@@ -365,6 +365,59 @@ def minhash_lsh_pairs(
     return _jaccard_from_common(common, t.select("k", "sz"), threshold)
 
 
+# ------------------------------------------- incremental exact-fp index
+def fingerprint_index_write(df: DataFrame, path: str,
+                            text_col: str = "text",
+                            key_col: str = "doc_id") -> None:
+    """Persist (fp, k) — the exact-dedup twin of ``minhash_index_write``
+    for the rolling-crawl shape: new batches drop exact duplicates of
+    everything already kept without rescanning the corpus. NULL texts
+    are not indexed (they never match anything). Index size is one
+    16-byte digest + key per doc — trivially small next to the corpus."""
+    (df.filter(F.col(text_col).isNotNull())
+     .select(fingerprint(F.col(text_col)).alias("fp"),
+             F.col(key_col).alias("k"))
+     .write.mode("overwrite").parquet(f"{path}/fps"))
+
+
+def fingerprint_index_append(df: DataFrame, path: str,
+                             text_col: str = "text",
+                             key_col: str = "doc_id") -> None:
+    """Fold a new batch's fingerprints into the index (deterministic
+    content — replay-safe under distinct-on-read, same contract as the
+    minhash index appends)."""
+    (df.filter(F.col(text_col).isNotNull())
+     .select(fingerprint(F.col(text_col)).alias("fp"),
+             F.col(key_col).alias("k"))
+     .write.mode("append").parquet(f"{path}/fps"))
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    within_batch: bool = True,
+) -> DataFrame:
+    """Survivors of a NEW batch against a persisted fingerprint index:
+    batch-internal exact dedup first (min-key winner — the same
+    min-struct shape as ``exact_dedup``), then a left-anti join on the
+    16-byte digest drops docs whose text the corpus already has. NULL
+    texts pass through. One shuffle keyed by digest (uniform); the
+    index side is read pre-projected to the digest column only."""
+    spark = new_docs.sparkSession
+    batch = exact_dedup(new_docs, text_col, key_col) if within_batch \
+        else new_docs
+    old = spark.read.parquet(f"{path}/fps").select("fp").distinct()
+    fp = fingerprint(F.col(text_col))
+    nn = (batch.filter(F.col(text_col).isNotNull())
+          .withColumn("__fp", fp)
+          .join(old.withColumnRenamed("fp", "__fp"), "__fp",
+                "left_anti")
+          .drop("__fp"))
+    return nn.unionByName(batch.filter(F.col(text_col).isNull()))
+
+
 # ----------------------------------------------- incremental minhash index
 def minhash_index_write(
     df: DataFrame,
