@@ -1106,6 +1106,18 @@ def _lines_corpus(spark, sf_dir):
                     F.translate("text", " ", "\n").alias("text")))
 
 
+def _q_chunk_dedup(spark, sf_dir):
+    # passage-granularity corpus dedup (operators/lines.py chunk_dedup,
+    # Lee et al. 2022 approximated over aligned 8-token windows) —
+    # winner selection, excision, and ordered reassembly all replayed
+    # in DuckDB
+    from validatelite_spark.operators.lines import chunk_dedup
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_dedup(docs, "text", "doc_id", window_tokens=8)
+    return out.select("doc_id", F.md5("text_dedup").alias("fp"),
+                      F.length("text_dedup").alias("n"))
+
+
 def _q_top_lines(spark, sf_dir):
     # boilerplate-line mining (operators/lines.py top_lines): the
     # blocklist feed for strip_blocklisted_lines / the BOILERPLATE
@@ -1377,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "classifier_rule": _q_classifier_rule,
         "incremental_exact": _q_incremental_exact,
+        "chunk_dedup": _q_chunk_dedup,
         "boilerplate_strip": _q_boilerplate_strip,
         "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,
@@ -1911,6 +1924,36 @@ FROM documents, bll b""",
                CAST(count(*) FILTER (WHERE text IS NULL OR
                     {_clf_raw} < 0.5) AS BIGINT) AS failed_records
         FROM documents"""
+    out["chunk_dedup"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_d_tokens('text')} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        ch AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
+                   i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS cl
+          FROM base),
+        u AS (
+          SELECT doc_id AS k, generate_subscripts(cl, 1) - 1 AS pos,
+                 unnest(cl) AS line
+          FROM ch),
+        w AS (
+          SELECT line, k AS wk, pos AS wpos FROM u
+          QUALIFY row_number() OVER (PARTITION BY line
+                                     ORDER BY k, pos) = 1),
+        kept AS (
+          SELECT u.k, u.pos, u.line FROM u
+          JOIN w ON u.line = w.line AND u.k = w.wk AND u.pos = w.wpos),
+        reb AS (
+          SELECT k, string_agg(line, ' ' ORDER BY pos) AS td
+          FROM kept GROUP BY k)
+        SELECT d.doc_id,
+               md5(CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(r.td, '') END) AS fp,
+               length(CASE WHEN d.text IS NULL THEN NULL
+                           ELSE coalesce(r.td, '') END) AS n
+        FROM documents d LEFT JOIN reb r ON d.doc_id = r.k"""
     out["incremental_exact"] = f"""
         WITH old AS (
           SELECT DISTINCT {_d_fingerprint('text')} AS fp

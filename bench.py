@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "boilerplate_strip",
     "url_dedup",
     "classifier_scores",
+    "chunk_dedup",
 ]
 
 

@@ -155,3 +155,59 @@ class TestBoilerplateLoop:
             Rule("BOILERPLATE", "text",
                  {"lines": ["zz not present"], "max_frac": 0.1})])
         assert res.failed_records == 0
+
+
+class TestChunkDedup:
+    """Passage-granularity corpus dedup (chunk_dedup): duplicated
+    aligned windows removed from all but the first occurrence."""
+
+    def test_shared_passage_excised_once(self, spark):
+        from validatelite_spark.operators.lines import chunk_dedup
+        passage = " ".join(f"p{i}" for i in range(4))      # one window
+        rows = [
+            (1, f"{passage} a b c d"),    # first: keeps passage
+            (2, f"{passage} e f g h"),    # later: passage removed
+            (3, f"x y z w {passage}"),    # aligned at pos 1 → removed
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text_dedup"]
+               for r in chunk_dedup(df, window_tokens=4).collect()}
+        assert got[1] == f"{passage} a b c d"
+        assert got[2] == "e f g h"
+        assert got[3] == "x y z w"
+        assert got[4] is None
+
+    def test_unaligned_span_survives_documented_miss(self, spark):
+        # the stated approximation: a shared span that is NOT
+        # chunk-aligned in both docs is missed (suffix arrays would
+        # catch it) — pin the contract so it can't silently change
+        from validatelite_spark.operators.lines import chunk_dedup
+        rows = [(1, "s1 s2 s3 s4"),          # span = whole chunk
+                (2, "q0 s1 s2 s3")]          # same span shifted by one
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text_dedup"]
+               for r in chunk_dedup(df, window_tokens=4).collect()}
+        assert got[2] == "q0 s1 s2 s3"  # survives: different chunk string
+
+    def test_partition_invariance_and_full_dedup_blank(self, spark):
+        from validatelite_spark.operators.lines import chunk_dedup
+        body = " ".join(f"t{i}" for i in range(8))
+        rows = [(i, body) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, chunk_dedup(df, window_tokens=4).collect()))
+        b = sorted(map(tuple, chunk_dedup(df.repartition(7),
+                                          window_tokens=4).collect()))
+        assert a == b
+        got = dict(a)
+        assert got[0] == body and all(got[i] == "" for i in range(1, 30))
+
+    def test_min_tokens_tail_guard(self, spark):
+        from validatelite_spark.operators.lines import chunk_dedup
+        rows = [(1, "a b c d tail"), (2, "e f g h tail")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text_dedup"]
+               for r in chunk_dedup(df, window_tokens=4,
+                                    min_tokens=2).collect()}
+        # the 1-token 'tail' chunk is below min_tokens → never deduped
+        assert got[1] == "a b c d tail" and got[2] == "e f g h tail"

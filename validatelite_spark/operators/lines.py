@@ -29,6 +29,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from validatelite_spark.functions.textquality import tokens
+
+
+def _first_occurrence_rebuild(df, units, dedupable, join_sep,
+                              text_col, key_col, out_col) -> DataFrame:
+    """Shared core of ``line_dedup`` / ``chunk_dedup``: given the
+    exploded (k, pos, line) unit table, keep each unit's first
+    occurrence (min-struct winner, map-side partial agg — the round-3
+    hot-key fix) and reassemble docs in order. NULL text → NULL out;
+    fully-deduped docs → ''."""
+    winners = (units.filter(dedupable)
+               .groupBy("line")
+               .agg(F.min(F.struct("k", "pos")).alias("__w")))
+    kept = (units
+            .join(winners, "line", "left")
+            .filter(~dedupable
+                    | F.struct("k", "pos").eqNullSafe(F.col("__w")))
+            .drop("__w"))
+    rebuilt = (
+        kept.groupBy("k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+             .alias("parts"))
+        .select(
+            "k",
+            # parts.line = GetArrayStructFields: native elementwise
+            # field extraction, order-preserving — NOT F.transform,
+            # which is CodegenFallback in this corpus-wide projection
+            # (CLAUDE.md rule 3)
+            F.concat_ws(join_sep, F.col("parts.line"))
+            .alias("__dedup")))
+    return (df.select(key_col,
+                      F.col(text_col).isNull().alias("__was_null"))
+            .join(rebuilt.withColumnRenamed("k", key_col), key_col, "left")
+            .select(
+                key_col,
+                # NULL in → NULL out; every-unit-deduped → empty string
+                F.when(F.col("__was_null"), F.lit(None).cast("string"))
+                .otherwise(F.coalesce(F.col("__dedup"), F.lit("")))
+                .alias(out_col)))
+
 
 def line_dedup(
     df: DataFrame,
@@ -60,39 +100,53 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), split_pattern))
         .alias("pos", "line"))
     dedupable = F.length("line") >= min_line_chars
-    # Winner per line = min (k, pos) struct. One row per distinct line
-    # after a map-side partial aggregate — the hot-boilerplate key never
-    # reaches a reducer at full multiplicity.
-    winners = (lines.filter(dedupable)
-               .groupBy("line")
-               .agg(F.min(F.struct("k", "pos")).alias("__w")))
-    kept = (lines
-            .join(winners, "line", "left")
-            .filter(~dedupable
-                    | F.struct("k", "pos").eqNullSafe(F.col("__w")))
-            .drop("__w"))
-    rebuilt = (
-        kept.groupBy("k")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
-             .alias("parts"))
-        .select(
-            "k",
-            # parts.line = GetArrayStructFields: native elementwise
-            # field extraction, order-preserving — NOT F.transform,
-            # which is CodegenFallback in this corpus-wide projection
-            # (CLAUDE.md rule 3)
-            F.concat_ws(join_sep, F.col("parts.line"))
-            .alias("__dedup")))
-    out_col = f"{text_col}_dedup"
-    return (df.select(key_col,
-                      F.col(text_col).isNull().alias("__was_null"))
-            .join(rebuilt.withColumnRenamed("k", key_col), key_col, "left")
-            .select(
-                key_col,
-                # NULL in → NULL out; every-line-deduped → empty string
-                F.when(F.col("__was_null"), F.lit(None).cast("string"))
-                .otherwise(F.coalesce(F.col("__dedup"), F.lit("")))
-                .alias(out_col)))
+    return _first_occurrence_rebuild(df, lines, dedupable, join_sep,
+                                     text_col, key_col,
+                                     f"{text_col}_dedup")
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window_tokens: int = 50,
+    min_tokens: int = 0,
+) -> DataFrame:
+    """Corpus-wide duplicate-PASSAGE removal: the deduplicating-
+    training-data recipe (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better") approximated over aligned
+    non-overlapping ``window_tokens``-token chunks instead of a suffix
+    array — a duplicated span is removed from every doc but its first
+    occurrence (min doc key, then min position), while the surrounding
+    unique text SURVIVES (doc-level dedup would drop or keep whole
+    docs; this excises the shared passage).
+
+    Approximation contract, stated not hidden: only chunk-ALIGNED
+    duplicates are caught (a shared span straddling a chunk boundary in
+    one doc but not the other is missed — suffix arrays catch it,
+    aligned windows don't), and the rebuilt text is space-joined tokens
+    (original whitespace is normalized away). ``min_tokens``: chunks
+    shorter than this (the partial tail chunk) pass through undeduped.
+
+    Scale shape: identical to ``line_dedup`` — one explode, winner per
+    chunk via a map-side min-struct partial aggregate (a viral passage
+    in 10^9 docs collapses before the shuffle), AQE-splittable join
+    back, ordered reassembly."""
+    toks = tokens(F.col(text_col))
+    w = window_tokens
+    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    chunks = F.when(F.size(toks) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w))))
+    nn = df.filter(F.col(text_col).isNotNull())
+    units = nn.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(chunks).alias("pos", "line"))
+    dedupable = F.size(F.split(F.col("line"), " ")) >= min_tokens
+    return _first_occurrence_rebuild(df, units, dedupable, " ",
+                                     text_col, key_col,
+                                     f"{text_col}_dedup")
 
 
 # ------------------------------------------------- boilerplate blocklist
