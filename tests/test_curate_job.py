@@ -1,0 +1,44 @@
+"""Cluster curation entrypoint (jobs/curate_job.py) — end-to-end in a
+subprocess, the same way spark-submit drives it."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+
+@pytest.mark.slow
+def test_curate_job_end_to_end(spark, tmp_path):
+    from validatelite_spark.pipeline.pages import synthesize_pages
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    synthesize_pages(spark, 1000).select("url", "text", "lang") \
+        .write.parquet(inp)
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/curate_job.py", inp, out,
+         "30000", "en"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[curate] kept" in r.stdout
+
+    con = duckdb.connect()
+    kept = con.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    (n_in, n_kept, budget, langs) = con.sql(
+        f"SELECT * FROM '{out}_summary/*.parquet'").fetchone()
+    assert n_in == 1000 and n_kept == kept and 0 < kept < 1000
+    assert budget == 30000 and langs == "en"
+    # the keep decision filters on DETECTED language (lang_id(text)),
+    # not the stored lang column — the stored label may disagree, so
+    # assert the budget stage grouped on the stored column instead:
+    # every kept doc's text re-detects as the allowed language
+    from validatelite_spark.functions.textquality import lang_id
+    from pyspark.sql import functions as F
+    detected = (spark.read.parquet(out)
+                .select(lang_id(F.col("text")).alias("d"))
+                .distinct().collect())
+    assert {r["d"] for r in detected} == {"en"}
