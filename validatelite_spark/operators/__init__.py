@@ -4,10 +4,19 @@ from validatelite_spark.operators.engine import RuleEngine
 from validatelite_spark.operators.dedup import (
     dedup_groups,
     exact_dedup,
+    incremental_exact_dedup,
+    incremental_minhash_pairs,
     keep_representatives,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    url_dedup,
+)
+from validatelite_spark.operators.lines import (
+    chunk_dedup,
+    line_dedup,
+    strip_blocklisted_lines,
+    top_lines,
 )
 from validatelite_spark.operators.joins import asof_join, range_join
 from validatelite_spark.operators.multimodal import (
@@ -31,20 +40,27 @@ __all__ = [
     "RuleEngine",
     "asof_join",
     "brute_force_topk",
+    "chunk_dedup",
     "decode_media",
     "dedup_groups",
     "embedding_cosine_pairs",
     "exact_dedup",
     "frame_sample",
     "hash_sample",
+    "incremental_exact_dedup",
+    "incremental_minhash_pairs",
     "ivf_topk",
     "keep_representatives",
     "kmeans_centroids",
+    "line_dedup",
     "lsh_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "range_join",
     "simhash_pairs",
+    "strip_blocklisted_lines",
     "time_rollup",
     "token_budget_filter",
+    "top_lines",
+    "url_dedup",
 ]
