@@ -211,3 +211,48 @@ class TestChunkDedup:
                                     min_tokens=2).collect()}
         # the 1-token 'tail' chunk is below min_tokens → never deduped
         assert got[1] == "a b c d tail" and got[2] == "e f g h tail"
+
+    def test_randomized_against_python_reference(self, spark):
+        # seeded random corpora vs an independent pure-Python
+        # first-occurrence aligned-chunk reference (same spirit as the
+        # line_dedup pandas-free reference above)
+        import random
+
+        from validatelite_spark.operators.lines import chunk_dedup
+
+        def ref(rows, w):
+            seen = {}
+            out = {}
+            for doc_id, text in sorted(rows):
+                if text is None:
+                    out[doc_id] = None
+                    continue
+                toks = [t for t in text.lower().split() if t]
+                chunks = [" ".join(toks[i:i + w])
+                          for i in range(0, len(toks), w)]
+                kept = []
+                for pos, c in enumerate(chunks):
+                    if c not in seen:
+                        seen[c] = (doc_id, pos)
+                    if seen[c] == (doc_id, pos):
+                        kept.append(c)
+                out[doc_id] = " ".join(kept)
+            return out
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(12)]
+        for trial, w in [(0, 3), (1, 4), (2, 5)]:
+            rows = []
+            for d in range(25):
+                n = rng.randint(0, 20)
+                toks = [rng.choice(vocab) for _ in range(n)]
+                text = " ".join(toks)
+                if rng.random() < 0.15:
+                    text = None
+                elif rng.random() < 0.15:
+                    text = "  " + text + "   "   # whitespace runs
+                rows.append((d, text))
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            got = {r["doc_id"]: r["text_dedup"]
+                   for r in chunk_dedup(df, window_tokens=w).collect()}
+            assert got == ref(rows, w), f"trial {trial} w={w}"
