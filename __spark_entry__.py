@@ -1118,6 +1118,26 @@ def _q_chunk_dedup(spark, sf_dir):
                       F.length("text_dedup").alias("n"))
 
 
+def _q_domain_stats(spark, sf_dir):
+    # per-domain mixing report (operators/domains.py) — the planning
+    # table for domain reputation / mixture decisions
+    from validatelite_spark.operators.domains import domain_stats
+    docs = _read(spark, sf_dir, "documents")
+    return domain_stats(docs, "n_chars", by="source",
+                        token_col="n_chars")
+
+
+def _q_domain_filter(spark, sf_dir):
+    # domain-reputation filter: drop docs whose domain's AVERAGE score
+    # sits in the bottom quantile of per-domain averages (domains
+    # weighted equally); scalar threshold + null-safe semi-join back
+    from validatelite_spark.operators.domains import domain_quality_filter
+    docs = _read(spark, sf_dir, "documents")
+    out = domain_quality_filter(docs, "n_chars", by="source", q=0.25,
+                                min_docs=2)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def _q_top_lines(spark, sf_dir):
     # boilerplate-line mining (operators/lines.py top_lines): the
     # blocklist feed for strip_blocklisted_lines / the BOILERPLATE
@@ -1390,6 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_rule": _q_classifier_rule,
         "incremental_exact": _q_incremental_exact,
         "chunk_dedup": _q_chunk_dedup,
+        "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
         "boilerplate_strip": _q_boilerplate_strip,
         "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,
@@ -1924,6 +1946,24 @@ FROM documents, bll b""",
                CAST(count(*) FILTER (WHERE text IS NULL OR
                     {_clf_raw} < 0.5) AS BIGINT) AS failed_records
         FROM documents"""
+    out["domain_stats"] = """
+        SELECT source AS domain, count(*) AS n_docs,
+               round(avg(n_chars) + 1e-9, 6) AS avg_score,
+               CAST(sum(n_chars) AS BIGINT) AS tokens
+        FROM documents GROUP BY source"""
+    out["domain_filter"] = """
+        WITH s AS (SELECT source, avg(n_chars) AS a, count(*) AS n
+                   FROM documents GROUP BY source),
+        j AS (SELECT * FROM s WHERE n >= 2),
+        t AS (SELECT round(quantile_cont(a, 0.25) + 1e-9, 4) AS th
+              FROM j),
+        w AS (SELECT source FROM j, t WHERE round(a + 1e-9, 4) >= th)
+        SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        JOIN w ON d.source IS NOT DISTINCT FROM w.source
+        UNION ALL
+        SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        JOIN (SELECT source FROM s WHERE n < 2) sm
+          ON d.source IS NOT DISTINCT FROM sm.source"""
     out["chunk_dedup"] = f"""
         WITH base AS (
           SELECT doc_id, {_d_tokens('text')} AS tk

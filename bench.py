@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "classifier_scores",
     "chunk_dedup",
+    "domain_filter",
 ]
 
 

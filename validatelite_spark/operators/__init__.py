@@ -18,6 +18,10 @@ from validatelite_spark.operators.lines import (
     strip_blocklisted_lines,
     top_lines,
 )
+from validatelite_spark.operators.domains import (
+    domain_quality_filter,
+    domain_stats,
+)
 from validatelite_spark.operators.joins import asof_join, range_join
 from validatelite_spark.operators.multimodal import (
     decode_media,
@@ -43,6 +47,8 @@ __all__ = [
     "chunk_dedup",
     "decode_media",
     "dedup_groups",
+    "domain_quality_filter",
+    "domain_stats",
     "embedding_cosine_pairs",
     "exact_dedup",
     "frame_sample",
