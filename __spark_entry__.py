@@ -1118,6 +1118,26 @@ def _q_chunk_dedup(spark, sf_dir):
                       F.length("text_dedup").alias("n"))
 
 
+_MESSY_DECOR = "\u201cq\u201d\u200b\te\u0301\x07\u2014 "
+
+
+def _q_normalize_text(spark, sf_dir):
+    # unicode fix-text stage (functions/normalize.py): documents text
+    # decorated with curly quotes, zero-widths, a control char, an
+    # em-dash and a DECOMPOSED e+acute (NFC leg), then normalized;
+    # the oracle builds the identical messy input and replays every
+    # step including nfc_normalize
+    from validatelite_spark.functions.normalize import normalize_docs
+    docs = _read(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(F.lit(_MESSY_DECOR), F.col("text"),
+                 F.lit(_MESSY_DECOR)).alias("text"))
+    out = normalize_docs(messy)
+    return out.select("doc_id", F.md5("text").alias("fp"),
+                      F.length("text").alias("n"))
+
+
 def _q_domain_stats(spark, sf_dir):
     # per-domain mixing report (operators/domains.py) — the planning
     # table for domain reputation / mixture decisions
@@ -1412,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
+        "normalize_text": _q_normalize_text,
         "boilerplate_strip": _q_boilerplate_strip,
         "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,
@@ -1945,6 +1966,14 @@ FROM documents, bll b""",
         SELECT count(*) AS total_records,
                CAST(count(*) FILTER (WHERE text IS NULL OR
                     {_clf_raw} < 0.5) AS BIGINT) AS failed_records
+        FROM documents"""
+    from validatelite_spark.functions.normalize import (
+        _sql_escape, duckdb_normalize_sql)
+    _decor = f"e'{_sql_escape(_MESSY_DECOR)}'"
+    _norm = duckdb_normalize_sql(
+        f"({_decor} || text || {_decor})")
+    out["normalize_text"] = f"""
+        SELECT doc_id, md5({_norm}) AS fp, length({_norm}) AS n
         FROM documents"""
     out["domain_stats"] = """
         SELECT source AS domain, count(*) AS n_docs,

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "classifier_scores",
     "chunk_dedup",
     "domain_filter",
+    "normalize_text",
 ]
 
 
