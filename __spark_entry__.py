@@ -1138,6 +1138,20 @@ def _q_normalize_text(spark, sf_dir):
                       F.length("text").alias("n"))
 
 
+def _q_compression_stats(spark, sf_dir):
+    # zlib compression-ratio quality signal per language — rows-only
+    # (DuckDB has no zlib surface; cross-impl parity is pinned in
+    # pytest against direct zlib, like perplexity)
+    from validatelite_spark.functions.textquality import (
+        compression_ratio_udf)
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.withColumn("cr",
+                            compression_ratio_udf()(F.col("text")))
+            .groupBy("lang")
+            .agg(F.round(F.avg("cr") + 1e-9, 6).alias("avg_cr"),
+                 F.count(F.lit(1)).alias("docs")))
+
+
 def _q_domain_stats(spark, sf_dir):
     # per-domain mixing report (operators/domains.py) — the planning
     # table for domain reputation / mixture decisions
@@ -1433,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "normalize_text": _q_normalize_text,
+        "compression_stats": _q_compression_stats,
         "boilerplate_strip": _q_boilerplate_strip,
         "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,

@@ -85,3 +85,26 @@ class TestClassifier:
                  name="quality_clf")])
         assert res.failed_records == 20  # the spam half
         assert res.execution_plan["execution_type"] == "merged_agg"
+
+
+class TestCompressionRatio:
+    def test_matches_direct_zlib_and_orders_sanely(self, spark):
+        import zlib
+        from pyspark.sql import functions as F
+        from validatelite_spark.functions.textquality import (
+            compression_ratio_udf)
+        rows = [(1, "spam " * 200),                 # repetitive → low
+                (2, "the quick brown fox jumps over the lazy dog and "
+                    "then discusses municipal budget policy at length"),
+                (3, None), (4, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["cr"]
+               for r in df.select("doc_id",
+                                  compression_ratio_udf()(F.col("text"))
+                                  .alias("cr")).collect()}
+        for i, t in [(1, rows[0][1]), (2, rows[1][1])]:
+            b = t.encode()
+            assert got[i] == round(len(zlib.compress(b, 6)) / len(b)
+                                   + 1e-9, 6)
+        assert got[3] is None and got[4] is None
+        assert got[1] < got[2]  # repetition compresses better

@@ -14,6 +14,7 @@ ENUM→language allowlist after langid.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -275,3 +276,33 @@ def bpe_token_count(col: Column) -> Column:
     """Approximate LLM token count via the BPE pre-tokenizer regex —
     a codegen'd regexp_count, no Python. NULL → NULL."""
     return F.regexp_count(col, F.lit(BPE_PATTERN))
+
+
+# ------------------------------------------------- compression ratio
+def compression_ratio_udf(level: int = 6, round_to: int = 6):
+    """Arrow-batched zlib compression ratio: compressed_bytes /
+    utf8_bytes — the low-entropy detector (boilerplate-heavy or
+    repetitive text compresses far below prose; extremely random text
+    sits near or above 1). A standard web-filter signal alongside the
+    Gopher heuristics; deterministic for a fixed zlib ``level``
+    (pinned vs direct zlib in tests). NULL → NULL; empty text → NULL
+    (no bytes to judge). Non-SQL-expressible (DuckDB has no zlib
+    surface), so the driver exposure is rows-only; cross-impl parity
+    lives in pytest like perplexity's."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cr(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, level)) / len(b) + 1e-9,
+                         round_to)
+        return s.map(one)
+
+    return cr
