@@ -1308,6 +1308,17 @@ def _q_classifier_rule(spark, sf_dir):
         F.sum(F.when(fail, 1).otherwise(0)).alias("failed_records"))
 
 
+def _q_url_decontaminate(spark, sf_dir):
+    # url-level decontamination: every doc canonical-url-equal to a
+    # benchmark url (docs with doc_id % 10 == 0 here) is dropped —
+    # catches the http/https/www/tracking variants raw matching misses
+    from validatelite_spark.operators.dedup import url_decontaminate
+    u = _messy_urls(spark, sf_dir)
+    bench = u.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0) \
+        .select("url")
+    return url_decontaminate(u, bench)
+
+
 def _q_stratified_sample(spark, sf_dir):
     # per-stratum deterministic sampling (the data-mix knob): exact row
     # set verified — md5 arithmetic is engine-portable
@@ -1448,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": _q_domain_filter,
         "normalize_text": _q_normalize_text,
         "compression_stats": _q_compression_stats,
+        "url_decontaminate": _q_url_decontaminate,
         "boilerplate_strip": _q_boilerplate_strip,
         "boilerplate_rule": _q_boilerplate_rule,
         "incremental_dedup": _q_incremental_dedup,
@@ -2063,6 +2075,13 @@ FROM documents, bll b""",
         WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url
                    FROM documents)
         SELECT doc_id, {_canon} AS canonical FROM u"""
+    out["url_decontaminate"] = f"""
+        WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url
+                   FROM documents),
+        c AS (SELECT doc_id, url, {_canon} AS cu FROM u),
+        b AS (SELECT DISTINCT cu FROM c WHERE doc_id % 10 = 0)
+        SELECT doc_id, url FROM c
+        WHERE cu NOT IN (SELECT cu FROM b)"""
     out["url_dedup"] = f"""
         WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url
                    FROM documents),

@@ -67,6 +67,20 @@ class TestUrlDedup:
         kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
         assert kept == [1, 4, 5, 6]  # 2,3 are canonical-equal to 1
 
+    def test_url_decontaminate_matches_variants(self, spark):
+        from validatelite_spark.operators.dedup import url_decontaminate
+        docs = spark.createDataFrame(
+            [(1, "https://www.example.com/eval?utm_s=1"),
+             (2, "http://example.com/train"),
+             (3, None)],
+            "doc_id long, url string")
+        bench = spark.createDataFrame(
+            [("HTTPS://example.com:443/eval#cite",), (None,)],
+            "url string")
+        kept = sorted(r["doc_id"]
+                      for r in url_decontaminate(docs, bench).collect())
+        assert kept == [2, 3]  # 1 matches the canonical benchmark url
+
     def test_hot_url_plan_has_no_window(self, spark):
         rows = [(i, "https://example.com/hot?utm_c=%d" % i)
                 for i in range(100)]

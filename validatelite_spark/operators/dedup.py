@@ -110,8 +110,30 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     )
 
 
-def exact_dup_groups(df: DataFrame, text_col: str = "text",
-                     key_col: str = "doc_id") -> DataFrame:
+def url_decontaminate(df: DataFrame, benchmark_urls: DataFrame,
+                      url_col: str = "url",
+                      bench_url_col: str | None = None) -> DataFrame:
+    """Drop docs whose CANONICAL url appears in a benchmark/blocklist
+    url set — the url-level leg of decontamination (the n-gram leg is
+    ``operators/repetition.decontaminate``): eval sets often publish
+    source urls, and matching after ``canonical_url`` catches the
+    http/https/www/tracking variants a raw string match misses.
+
+    NULL urls are kept (a NULL join key never matches, and left_anti
+    keeps non-matching rows). The benchmark side is reduced to distinct
+    canonical urls; the anti-join shuffles on the canonical string
+    (benchmark sets are small — Catalyst/AQE broadcasts the build side
+    when it fits)."""
+    from validatelite_spark.functions.urls import canonical_url
+
+    bcol = bench_url_col or url_col
+    bench = (benchmark_urls
+             .filter(F.col(bcol).isNotNull())
+             .select(canonical_url(F.col(bcol)).alias("__cu"))
+             .distinct())
+    return (df.withColumn("__cu", canonical_url(F.col(url_col)))
+            .join(bench, "__cu", "left_anti")
+            .drop("__cu"))
     """(fingerprint, n_docs, keep_id) for every duplicated fingerprint."""
     return (
         df.filter(F.col(text_col).isNotNull())
