@@ -134,6 +134,10 @@ def url_decontaminate(df: DataFrame, benchmark_urls: DataFrame,
     return (df.withColumn("__cu", canonical_url(F.col(url_col)))
             .join(bench, "__cu", "left_anti")
             .drop("__cu"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
     """(fingerprint, n_docs, keep_id) for every duplicated fingerprint."""
     return (
         df.filter(F.col(text_col).isNotNull())
