@@ -69,6 +69,14 @@ def _best_of_3(fn) -> tuple[float, float]:
 def test_query_within_baseline(spark, name):
     import __spark_entry__ as entry_mod
 
+    # hypervisor steal is measured per run below, but LOCAL contention
+    # (another pytest/bench on this box) is invisible to /proc/stat
+    # col 9 — guard on load average before spending the measurement
+    load_ratio = os.getloadavg()[0] / (os.cpu_count() or 1)
+    if load_ratio > BASELINE.get("load_skip_ratio", 0.5):
+        pytest.skip(f"machine busy (1-min load ratio {load_ratio:.2f})"
+                    " — wall-clock would measure contention, not code")
+
     q = entry_mod.queries()[name]
     sf_dir = BASELINE["sf_dir"]
     q(spark, sf_dir).collect()  # warmup (plan/codegen cache)
