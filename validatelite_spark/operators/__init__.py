@@ -10,6 +10,7 @@ from validatelite_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    url_decontaminate,
     url_dedup,
 )
 from validatelite_spark.operators.lines import (
@@ -68,5 +69,6 @@ __all__ = [
     "time_rollup",
     "token_budget_filter",
     "top_lines",
+    "url_decontaminate",
     "url_dedup",
 ]
