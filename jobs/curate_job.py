@@ -16,9 +16,18 @@ Args: INPUT OUTPUT TOKEN_BUDGET [allowed_langs csv] [key_col]
       [lang_col] [token_col]
 
 ``token_col`` defaults to ``n_chars`` when present, else a
-whitespace token count is derived. ``key_col`` defaults to ``url``
-when present (input_hint shape), else the first column.
-"""
+whitespace token count is derived.
+
+``key_col`` must identify rows UNIQUELY — both dedup stages keep every
+row that ties the min-struct winner, so a non-unique key (``url`` in a
+real crawl: the same page re-fetched across snapshots) would let exact
+re-fetches survive the whole chain and double-count against the token
+budget (ADVICE r4). Default when no key_col is given: use ``doc_id``
+when present; otherwise collapse exact (url, text) re-fetches with a
+``dropDuplicates`` (content-identical rows — any survivor is the same
+document) and synthesize a deterministic ``md5(url \\x01 text)`` key,
+which is unique after that collapse. An EXPLICIT key_col is trusted
+as-is (and validated to exist)."""
 
 from __future__ import annotations
 
@@ -48,13 +57,30 @@ def main() -> int:
     from validatelite_spark.sources.reader import read_source
 
     df = read_source(spark, input_path)
-    key_col = (sys.argv[5] if len(sys.argv) > 5
-               else "url" if "url" in df.columns else df.columns[0])
+    n_in = df.count()
+    synth_key = False
+    if len(sys.argv) > 5:
+        key_col = sys.argv[5]
+        if key_col not in df.columns:
+            raise SystemExit(f"key_col {key_col!r} not in input columns "
+                             f"{df.columns}")
+    elif "doc_id" in df.columns:
+        key_col = "doc_id"
+    elif "url" in df.columns:
+        # no unique key in the input: collapse exact re-fetches of the
+        # same url (content-identical rows), then a deterministic
+        # md5(url || text) key is unique — see module docstring
+        df = df.dropDuplicates(["url", "text"])
+        df = df.withColumn("__doc_key", F.md5(F.concat_ws(
+            "\x01", F.coalesce(F.col("url"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")))))
+        key_col, synth_key = "__doc_key", True
+    else:
+        key_col = df.columns[0]
     lang_col = sys.argv[6] if len(sys.argv) > 6 else "lang"
     token_col = (sys.argv[7] if len(sys.argv) > 7
                  else "n_chars" if "n_chars" in df.columns else "__tokens")
 
-    n_in = df.count()
     if "url" in df.columns:
         df = url_dedup(df, "url", key_col)
     if token_col == "__tokens":
@@ -64,6 +90,8 @@ def main() -> int:
                  key_col=key_col, lang_col=lang_col,
                  token_col=token_col, allowed_langs=langs)
     out = out.drop("__tokens")
+    if synth_key:
+        out = out.drop("__doc_key")
     out.write.mode("overwrite").parquet(output_path)
 
     kept = spark.read.parquet(output_path).count()

@@ -42,3 +42,37 @@ def test_curate_job_end_to_end(spark, tmp_path):
                 .select(lang_id(F.col("text")).alias("d"))
                 .distinct().collect())
     assert {r["d"] for r in detected} == {"en"}
+
+
+@pytest.mark.slow
+def test_exact_refetches_do_not_survive(spark, tmp_path):
+    """ADVICE r4 (medium): without a unique key, exact re-fetches of
+    the same URL (same url AND text — the primary Common-Crawl
+    duplication mode) tied the min-struct winner and were ALL kept,
+    double-counting against the token budget. The synthesized-key path
+    must keep each page exactly once."""
+    from pyspark.sql import functions as F
+
+    from validatelite_spark.pipeline.pages import synthesize_pages
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    pages = synthesize_pages(spark, 300).select("url", "text", "lang")
+    # every page fetched three times — identical rows, no doc key
+    pages.unionAll(pages).unionAll(pages).write.parquet(inp)
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/curate_job.py", inp, out,
+         "30000", "en"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    kept = spark.read.parquet(out)
+    n_kept = kept.count()
+    assert n_kept > 0
+    # one row per url — no re-fetch survived
+    assert kept.select("url").distinct().count() == n_kept
+    con = duckdb.connect()
+    (n_in, n_kept_s, _, _) = con.sql(
+        f"SELECT * FROM '{out}_summary/*.parquet'").fetchone()
+    assert n_in == 900 and n_kept_s == n_kept

@@ -29,6 +29,15 @@ CASES = [
      "https://example.com/A/B"),
     ("no-scheme-string", "no-scheme-string"),
     (None, None),
+    # ADVICE r4: a query-less URL with a literal '&' in its path (legal
+    # per RFC 3986) must NOT be rewritten to '?' — the old single-pass
+    # strip + unconditional separator promotion merged distinct pages
+    ("https://a.com/a&b", "https://a.com/a&b"),
+    ("https://a.com/p?x=1&y=2", "https://a.com/p?x=1&y=2"),
+    ("https://a.com/p?utm_a=1&utm_b=2&utm_c=3", "https://a.com/p"),
+    ("https://a.com/p?utm_a=1&x=1&utm_b=2&y=2&utm_c=3",
+     "https://a.com/p?x=1&y=2"),
+    ("https://a.com/p?gclid=1&utm_a=2&gclid=3", "https://a.com/p"),
 ]
 
 

@@ -22,9 +22,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: tracking query parameters stripped by canonical_url — each with its
-#: leading separator; the promote step below repairs a '&' left first
-_TRACKING = r"[?&](utm_[^&#]*|gclid=[^&#]*|fbclid=[^&#]*)"
+#: a tracking query parameter (utm_*, gclid, fbclid). Stripping runs in
+#: TWO separator-consuming passes so no repair step is needed: pass 1
+#: removes a RUN of tracking params each followed by '&' (keeping the
+#: run's leading separator, which now joins the next real param); pass 2
+#: removes a single trailing tracking param together with its leading
+#: separator. The old single-pass form left a leading '&' and promoted
+#: it to '?' unconditionally — rewriting query-less URLs with a literal
+#: '&' in the path (legal per RFC 3986), merging distinct pages
+#: (ADVICE r4).
+_TRACKING_PARAM = r"(utm_[^&#]*|gclid=[^&#]*|fbclid=[^&#]*)"
 _SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
 
 
@@ -32,7 +39,8 @@ def canonical_url(col: Column) -> Column:
     """Canonical form of a URL: fragment stripped, scheme+host
     lowercased, default ports (https:443 / http:80) dropped, leading
     ``www.`` dropped, tracking params (utm_*, gclid, fbclid) removed
-    with the query separator repaired. NULL in → NULL out; a string
+    with their own separators consumed (two-pass — see _TRACKING_PARAM;
+    a path-literal '&' is never touched). NULL in → NULL out; a string
     with no scheme passes through the host steps unchanged."""
     u = F.regexp_replace(col, "#.*", "")
     head = F.regexp_extract(u, _SCHEME_HOST, 0)
@@ -42,8 +50,8 @@ def canonical_url(col: Column) -> Column:
     u = F.regexp_replace(
         u, r"^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
     u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
-    u = F.regexp_replace(u, _TRACKING, "")
-    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
+    u = F.regexp_replace(u, r"([?&])(" + _TRACKING_PARAM + "&)+", "$1")
+    u = F.regexp_replace(u, r"[?&]" + _TRACKING_PARAM + "$", "")
     u = F.regexp_replace(u, r"[?&]$", "")
     return u
 
@@ -62,7 +70,8 @@ def duckdb_canonical_url_sql(expr: str) -> str:
     u = (f"regexp_replace({u}, "
          r"'^(http://[^/?#:]*):80([/?#].*)?$', '\1\2')")
     u = f"regexp_replace({u}, '^(https?://)www\\.', '\\1')"
-    u = f"regexp_replace({u}, '{_TRACKING}', '', 'g')"
-    u = f"regexp_replace({u}, '^([^?&]*)&', '\\1?')"
+    u = (f"regexp_replace({u}, '([?&])({_TRACKING_PARAM}&)+', "
+         "'\\1', 'g')")
+    u = f"regexp_replace({u}, '[?&]{_TRACKING_PARAM}$', '')"
     u = f"regexp_replace({u}, '[?&]$', '')"
     return u
