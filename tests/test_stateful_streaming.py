@@ -163,3 +163,76 @@ class TestIndexDedupStream:
         got = incremental_minhash_pairs(probe, idx,
                                         threshold=0.5).collect()
         assert {(r["id1"], r["id2"]) for r in got} == {(2, 9)}
+
+    def test_ledger_and_compaction_on_uri_scheme_path(self, spark,
+                                                      tmp_path):
+        """ADVICE r4 / VERDICT r4 #8: with a URI-scheme index path the
+        old os.path ledger silently wrote a driver-local directory
+        named after the scheme and never skipped replays. All marker
+        IO now goes through the Hadoop FileSystem API — run the whole
+        replay contract against ``file:``-prefixed paths (same URI
+        parsing as hdfs:// / s3a://, backed by the local FS)."""
+        from validatelite_spark.operators.dedup import minhash_index_write
+        from validatelite_spark.sources import fsutil
+        from validatelite_spark.streaming.index_dedup import (
+            _marker_path, compact_minhash_index, index_dedup_batch)
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the green forest near the river bank")
+        idx = "file:" + str(tmp_path / "index")
+        out = "file:" + str(tmp_path / "out")
+        seed = spark.createDataFrame([(0, base)],
+                                     "doc_id long, text string")
+        minhash_index_write(seed, idx)
+        batch = spark.createDataFrame(
+            [(1, base + " today")], "doc_id long, text string")
+        index_dedup_batch(batch, idx, out, threshold=0.5, batch_id=3)
+        assert fsutil.exists(spark, _marker_path(idx, 3))
+        bands1 = spark.read.parquet(f"{idx}/bands").count()
+        # replay is a no-op through the URI path
+        index_dedup_batch(batch, idx, out, threshold=0.5, batch_id=3)
+        assert spark.read.parquet(f"{idx}/bands").count() == bands1
+        # compaction works end-to-end on the URI path too
+        compact_minhash_index(spark, idx)
+        assert spark.read.parquet(f"{idx}/bands").count() == bands1
+
+    def test_compaction_crash_windows_recover(self, spark, tmp_path):
+        """ADVICE r4: the old rmtree-then-rename compaction could
+        crash with the live table deleted. Each window of the new
+        aside-rename sequence must self-heal via
+        recover_minhash_index (also invoked by compaction itself)."""
+        from validatelite_spark.operators.dedup import minhash_index_write
+        from validatelite_spark.sources import fsutil
+        from validatelite_spark.streaming.index_dedup import (
+            recover_minhash_index)
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the green forest near the river bank")
+        idx = str(tmp_path / "index")
+        seed = spark.createDataFrame([(0, base), (1, base + " now")],
+                                     "doc_id long, text string")
+        minhash_index_write(seed, idx)
+        bands = spark.read.parquet(f"{idx}/bands").count()
+
+        # window A: crash after writing the compacted tmp — live intact
+        spark.read.parquet(f"{idx}/bands").distinct().write.mode(
+            "overwrite").parquet(f"{idx}/_bands_compacting")
+        recover_minhash_index(spark, idx)
+        assert not fsutil.exists(spark, f"{idx}/_bands_compacting")
+        assert spark.read.parquet(f"{idx}/bands").count() == bands
+
+        # window B: crash between aside-rename and promote — src gone,
+        # tmp complete → promoted
+        spark.read.parquet(f"{idx}/bands").distinct().write.mode(
+            "overwrite").parquet(f"{idx}/_bands_compacting")
+        fsutil.rename(spark, f"{idx}/bands", f"{idx}/_bands_old")
+        recover_minhash_index(spark, idx)
+        assert spark.read.parquet(f"{idx}/bands").count() == bands
+        assert not fsutil.exists(spark, f"{idx}/_bands_old")
+
+        # window C: crash before final cleanup — src + _old both present
+        spark.read.parquet(f"{idx}/bands").write.mode(
+            "overwrite").parquet(f"{idx}/_bands_old")
+        recover_minhash_index(spark, idx)
+        assert not fsutil.exists(spark, f"{idx}/_bands_old")
+        assert spark.read.parquet(f"{idx}/bands").count() == bands

@@ -576,7 +576,8 @@ def minhash_index_write(
     shingle table feeding all three writes (``_persist_shingles``).
     """
     import json
-    import os
+
+    from validatelite_spark.sources import fsutil
 
     t = _persist_shingles(_shingle_table(df, text_col, key_col, n),
                           storage_level, staging_dir)
@@ -585,9 +586,11 @@ def minhash_index_write(
         "overwrite").parquet(f"{path}/bands")
     ex.write.mode("overwrite").parquet(f"{path}/shingles")
     t.select("k", "sz").write.mode("overwrite").parquet(f"{path}/docs")
-    with open(os.path.join(path, "_minhash_params.json"), "w") as fh:
-        json.dump({"n": n, "bands": bands,
-                   "rows_per_band": rows_per_band}, fh)
+    # sidecar via the Hadoop FS client — works on URI-scheme index paths
+    fsutil.write_utf8(
+        df.sparkSession, f"{path.rstrip('/')}/_minhash_params.json",
+        json.dumps({"n": n, "bands": bands,
+                    "rows_per_band": rows_per_band}))
     t.unpersist()
 
 
@@ -606,10 +609,12 @@ def minhash_index_append(
     for passing only docs that should join the corpus (i.e. after
     ``keep_representatives``/dedup)."""
     import json
-    import os
 
-    with open(os.path.join(path, "_minhash_params.json")) as fh:
-        p = json.load(fh)
+    from validatelite_spark.sources import fsutil
+
+    p = json.loads(fsutil.read_utf8(
+        new_docs.sparkSession,
+        f"{path.rstrip('/')}/_minhash_params.json"))
     t = _shingle_table(new_docs, text_col, key_col, p["n"]).cache()
     ex = t.select("k", F.explode("sh").alias("s"))
     _band_table(ex, p["bands"], p["rows_per_band"]).write.mode(
@@ -648,11 +653,12 @@ def incremental_minhash_pairs(
     doc a dup of ANYTHING old``) needs one verified edge, which the
     cluster representative provides. None → uncapped exhaustive pairs."""
     import json
-    import os
+
+    from validatelite_spark.sources import fsutil
 
     spark = new_docs.sparkSession
-    with open(os.path.join(path, "_minhash_params.json")) as fh:
-        p = json.load(fh)
+    p = json.loads(fsutil.read_utf8(
+        spark, f"{path.rstrip('/')}/_minhash_params.json"))
     old_bands = spark.read.parquet(f"{path}/bands")
     old_ex = spark.read.parquet(f"{path}/shingles")
     old_sz = spark.read.parquet(f"{path}/docs")

@@ -473,11 +473,12 @@ def ivf_index_write(
     norms are precomputed into the index (``__norm``) so probes never
     re-reduce the arrays. The quantizer (k×dim floats) rides along as a
     ``_ivf_centroids.json`` sidecar (underscore-prefixed → invisible to
-    Spark's parquet reader, like ``_SUCCESS``; at cluster scale write it
-    through the same shared-FS client as the parquet). Returns the
-    centroids."""
+    Spark's parquet reader, like ``_SUCCESS``; written through the
+    Hadoop FS client — the same one as the parquet — so a URI-scheme
+    index path works). Returns the centroids."""
     import json
-    import os
+
+    from validatelite_spark.sources import fsutil
 
     if centroids is not None:
         cents = centroids
@@ -491,8 +492,9 @@ def ivf_index_write(
         _norm(F.col(vec_col)).alias("__norm"),
         _bucket_udf(cents)(F.col(vec_col)).alias("bucket"))
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
-        json.dump(cents, fh)
+    fsutil.write_utf8(corpus.sparkSession,
+                      f"{path.rstrip('/')}/_ivf_centroids.json",
+                      json.dumps(cents))
     return cents
 
 
@@ -521,10 +523,11 @@ def ivf_index_probe(
     the pure-Column expression the DuckDB oracle anchors on. Parity at
     ``round_to`` decimals is pinned by tests/test_ivf.py."""
     import json
-    import os
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
-        cents = json.load(fh)
+    from validatelite_spark.sources import fsutil
+
+    cents = json.loads(fsutil.read_utf8(
+        spark, f"{path.rstrip('/')}/_ivf_centroids.json"))
     n_probe = min(n_probe, len(cents))
 
     # the probe projection (pandas-UDF matmul + norms) feeds BOTH the

@@ -19,7 +19,11 @@ remain the drop-in upgrade):
 1. **Batch ledger** — after both appends succeed, a marker file
    ``_batches/<epoch_id>`` is written; a replayed epoch whose marker
    exists is skipped entirely. This removes the common replay (retry
-   after full success).
+   after full success). Marker IO goes through the Hadoop FileSystem
+   API (``sources/fsutil`` — the same client as the parquet writes),
+   so the ledger works on ``hdfs://``/``s3a://`` index paths, not just
+   a shared POSIX mount (ADVICE r4: ``os.path`` against an object-store
+   URI silently wrote a driver-local directory named ``s3a:/…``).
 2. **Deterministic content** — the kept set and every appended row are
    pure functions of (batch content, index state); a replay that DOES
    re-append (crash between the appends and the marker) writes
@@ -37,8 +41,6 @@ remain the drop-in upgrade):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,10 +49,13 @@ from validatelite_spark.operators.dedup import (dedup_groups,
                                                 keep_representatives,
                                                 minhash_index_append,
                                                 minhash_lsh_pairs)
+from validatelite_spark.sources import fsutil
 
 
 def _marker_path(index_path: str, batch_id: int) -> str:
-    return os.path.join(index_path, "_batches", str(batch_id))
+    # plain '/' join — os.path.join would mangle URI-scheme paths on
+    # non-posix separators and the Hadoop Path parser wants '/'
+    return f"{index_path.rstrip('/')}/_batches/{batch_id}"
 
 
 def index_dedup_batch(
@@ -75,8 +80,9 @@ def index_dedup_batch(
     ``batch_id``: when given (the stream passes foreachBatch's epoch
     id), a ledger marker makes replays of fully-processed batches
     no-ops — see the module docstring's exactly-once contract."""
-    if batch_id is not None and os.path.exists(
-            _marker_path(index_path, batch_id)):
+    spark = batch.sparkSession
+    if batch_id is not None and fsutil.exists(
+            spark, _marker_path(index_path, batch_id)):
         return
     if within_batch:
         pairs_b = minhash_lsh_pairs(batch, text_col, key_col,
@@ -93,26 +99,68 @@ def index_dedup_batch(
     kept.write.mode("append").parquet(output_path)
     minhash_index_append(kept, index_path, text_col, key_col)
     if batch_id is not None:
-        os.makedirs(os.path.join(index_path, "_batches"), exist_ok=True)
-        with open(_marker_path(index_path, batch_id), "w") as fh:
-            fh.write("done")
+        fsutil.mkdirs(spark, f"{index_path.rstrip('/')}/_batches")
+        fsutil.write_utf8(spark, _marker_path(index_path, batch_id),
+                          "done")
+
+
+_INDEX_TABLES = ("bands", "shingles", "docs")
+
+
+def recover_minhash_index(spark: SparkSession, index_path: str) -> None:
+    """Repair an index left mid-compaction by a crash. The swap order
+    in ``compact_minhash_index`` guarantees every crash window is
+    recoverable from what's on disk:
+
+    - ``_<sub>_compacting`` present, ``<sub>`` present → crash before
+      the aside-rename: the compacted copy may be partial, the live
+      table is intact — drop the tmp.
+    - ``<sub>`` MISSING, ``_<sub>_old`` present → crash between the
+      aside-rename and the promote: the tmp was fully written (its
+      write completed before any rename started), so promote it;
+      fall back to restoring ``_old`` if the tmp vanished too.
+    - ``<sub>`` present, ``_<sub>_old`` present → crash before the
+      final cleanup: just delete ``_old``."""
+    base = index_path.rstrip("/")
+    for sub in _INDEX_TABLES:
+        src = f"{base}/{sub}"
+        tmp = f"{base}/_{sub}_compacting"
+        old = f"{base}/_{sub}_old"
+        if not fsutil.exists(spark, src):
+            if fsutil.exists(spark, tmp):
+                fsutil.rename(spark, tmp, src)
+            elif fsutil.exists(spark, old):
+                fsutil.rename(spark, old, src)
+        if fsutil.exists(spark, tmp):
+            fsutil.delete(spark, tmp)
+        if fsutil.exists(spark, old):
+            fsutil.delete(spark, old)
 
 
 def compact_minhash_index(spark: SparkSession, index_path: str) -> None:
     """Rewrite the index distinct on each table's natural key — erases
     double-appends from replayed micro-batches exactly, because every
     append writes deterministic content (module docstring layer 3).
-    Driver-side directory swap: fine on a posix/shared FS; on object
-    stores prefer the Iceberg/Delta upgrade path."""
-    import shutil
 
-    for sub in ("bands", "shingles", "docs"):
-        src = os.path.join(index_path, sub)
-        tmp = os.path.join(index_path, f"_{sub}_compacting")
+    Swap sequence per table (ADVICE r4 — the old rmtree-then-rename
+    left a crash window with the live table DELETED): write the
+    compacted copy to ``_<sub>_compacting``, rename the live table
+    aside to ``_<sub>_old``, promote the copy, then delete the aside.
+    Every intermediate state is repaired by ``recover_minhash_index``
+    (called here first, so a crashed previous compaction self-heals).
+    All IO via the Hadoop FileSystem API — works on URI-scheme paths;
+    on object stores the renames are copies (slower, still safe)."""
+    recover_minhash_index(spark, index_path)
+    base = index_path.rstrip("/")
+    for sub in _INDEX_TABLES:
+        src = f"{base}/{sub}"
+        tmp = f"{base}/_{sub}_compacting"
+        old = f"{base}/_{sub}_old"
         spark.read.parquet(src).distinct().write.mode(
             "overwrite").parquet(tmp)
-        shutil.rmtree(src)
-        os.rename(tmp, src)
+        fsutil.rename(spark, src, old)
+        fsutil.rename(spark, tmp, src)
+        fsutil.delete(spark, old)
 
 
 def read_deduped_corpus(spark: SparkSession, output_path: str,
