@@ -924,6 +924,82 @@ def _q_curation(spark, sf_dir):
     return sel.select("doc_id", "lang", "n_chars")
 
 
+def _q_curation_decon(spark, sf_dir):
+    # the curation chain with BOTH decontamination legs wired in
+    # (pipeline/curation.py, VERDICT r4 #7): url-decontaminate (docs
+    # canonical-url-equal to a benchmark url set, doc_id % 10 == 0 of
+    # the messy-url table) → exact dedup → quality keep → n-gram
+    # decontaminate (docs sharing any word 4-gram with the held-out
+    # md5-sixteenth benchmark corpus) → per-lang token budget. One lazy
+    # plan; every leg replayed in the DuckDB oracle.
+    from validatelite_spark.pipeline.curation import curate
+    docs = _read(spark, sf_dir, "documents")
+    u = _messy_urls(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")),
+                           1, 1) == "0"
+    bench_urls = u.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0) \
+        .select("url")
+    bench_texts = docs.filter(is_bench).select("doc_id", "text")
+    corpus = docs.join(u, "doc_id").filter(~is_bench)
+    sel = curate(spark, corpus, token_budget=3000, allowed_langs=("en",),
+                 benchmark_urls=bench_urls, benchmark_texts=bench_texts,
+                 decon_n=4)
+    return sel.select("doc_id", "lang", "n_chars")
+
+
+def _curation_decon_oracle() -> str:
+    from validatelite_spark.functions.urls import duckdb_canonical_url_sql
+    t = "text"
+    canon = duckdb_canonical_url_sql("url")
+    keep = (f"({t} IS NOT NULL AND NOT {_d_gopher_fail(t)} "
+            f"AND {_d_lang_id(t)} = 'en')")
+    return f"""
+        WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url
+                   FROM documents),
+        cu AS (SELECT doc_id, {canon} AS cu FROM u),
+        bu AS (SELECT DISTINCT cu FROM cu WHERE doc_id % 10 = 0),
+        corpus AS (
+          SELECT d.doc_id, d.lang, d.n_chars, d.text FROM documents d
+          JOIN cu USING (doc_id)
+          WHERE substr(md5(cast(d.doc_id AS varchar)), 1, 1) <> '0'
+            AND cu.cu NOT IN (SELECT cu FROM bu)
+        ), kept AS (
+          SELECT doc_id, lang, n_chars, text FROM corpus WHERE {keep}
+        ), uniq AS (
+          SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY {_d_fingerprint(t)}
+                                      ORDER BY doc_id) AS rn
+            FROM kept) WHERE rn = 1
+        ), sh AS (
+          SELECT doc_id,
+                 substr(md5(cast(doc_id AS varchar)), 1, 1) = '0'
+                   AS is_bench,
+                 list_distinct(list_transform(range(1, len({{toks}}) - 2),
+                     i -> array_to_string({{toks}}[i:i+3], ' '))) AS ngs
+          FROM documents WHERE len({{toks}}) >= 4
+        ), bsh AS (
+          SELECT DISTINCT unnest(ngs) AS s FROM sh WHERE is_bench
+        ), cont AS (
+          SELECT DISTINCT e.doc_id
+          FROM (SELECT doc_id, unnest(ngs) AS s FROM sh
+                WHERE NOT is_bench) e
+          JOIN bsh USING (s)
+        ), survivors AS (
+          SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id
+                                                  FROM cont)
+        ), running AS (
+          SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_chars AS pre
+          FROM survivors
+        )
+        SELECT doc_id, lang, n_chars FROM running
+        WHERE pre < 3000""".replace("{toks}", _d_tokens("text"))
+
+
 def _curation_oracle() -> str:
     t = "text"
     keep = (f"({t} IS NOT NULL AND NOT {_d_gopher_fail(t)} "
@@ -1391,7 +1467,47 @@ def _q_multimodal_video(spark, sf_dir):
 # ------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate records only the
+    # FIRST 50 entries, so the registry lists the NEWEST operators
+    # first (this round's additions, then the round-4 tail the driver
+    # had never recorded) and the long-stable rounds-1-3 queries last —
+    # every entry is still checked by scripts/check_oracles.py, whose
+    # full-registry artifact is committed as CORRECTNESS_local_rNN.json
+    # (VERDICT r4 #4).
     return {
+        # ---- round 5 ----
+        "curation_decontaminated": _q_curation_decon,
+        # ---- round 4 additions the driver window never reached ----
+        "range_signup_purchase": _q_range_signup_purchase,
+        "interval_overlap": _q_interval_overlap,
+        "time_rollup_events": _q_time_rollup,
+        "hash_sample": _q_hash_sample,
+        "token_budget": _q_token_budget,
+        "line_dedup": _q_line_dedup,
+        "top_lines": _q_top_lines,
+        "canonical_urls": _q_canonical_urls,
+        "url_dedup": _q_url_dedup,
+        "classifier_scores": _q_classifier_scores,
+        "classifier_rule": _q_classifier_rule,
+        "incremental_exact": _q_incremental_exact,
+        "chunk_dedup": _q_chunk_dedup,
+        "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
+        "normalize_text": _q_normalize_text,
+        "compression_stats": _q_compression_stats,
+        "url_decontaminate": _q_url_decontaminate,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "boilerplate_rule": _q_boilerplate_rule,
+        "incremental_dedup": _q_incremental_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "quantile_filter": _q_quantile_filter,
+        "quality_quantiles": _q_quality_quantiles,
+        "key_skew": _q_key_skew,
+        "top_ngrams": _q_top_ngrams,
+        "curation_end_to_end": _q_curation,
+        "temperature_sample": _q_temperature_sample,
+        "cap_per_source": _q_cap_per_source,
+        # ---- rounds 1-3 (driver-recorded green in r3 and r4) ----
         "notnull_metrics": _q_notnull,
         "range_metrics": _q_range,
         "length_metrics": _q_length,
@@ -1442,35 +1558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "asof_forward_click": _q_asof_forward,
         "asof_nearest_click": _q_asof_nearest,
-        "range_signup_purchase": _q_range_signup_purchase,
-        "interval_overlap": _q_interval_overlap,
-        "time_rollup_events": _q_time_rollup,
-        "hash_sample": _q_hash_sample,
-        "token_budget": _q_token_budget,
-        "line_dedup": _q_line_dedup,
-        "top_lines": _q_top_lines,
-        "canonical_urls": _q_canonical_urls,
-        "url_dedup": _q_url_dedup,
-        "classifier_scores": _q_classifier_scores,
-        "classifier_rule": _q_classifier_rule,
-        "incremental_exact": _q_incremental_exact,
-        "chunk_dedup": _q_chunk_dedup,
-        "domain_stats": _q_domain_stats,
-        "domain_filter": _q_domain_filter,
-        "normalize_text": _q_normalize_text,
-        "compression_stats": _q_compression_stats,
-        "url_decontaminate": _q_url_decontaminate,
-        "boilerplate_strip": _q_boilerplate_strip,
-        "boilerplate_rule": _q_boilerplate_rule,
-        "incremental_dedup": _q_incremental_dedup,
-        "stratified_sample": _q_stratified_sample,
-        "quantile_filter": _q_quantile_filter,
-        "quality_quantiles": _q_quality_quantiles,
-        "key_skew": _q_key_skew,
-        "top_ngrams": _q_top_ngrams,
-        "curation_end_to_end": _q_curation,
-        "temperature_sample": _q_temperature_sample,
-        "cap_per_source": _q_cap_per_source,
     }
 
 
@@ -2090,5 +2177,6 @@ FROM documents, bll b""",
         SELECT c.doc_id, c.url
         FROM c JOIN w ON c.cu = w.cu AND c.doc_id = w.k"""
     out["curation_end_to_end"] = _curation_oracle()
+    out["curation_decontaminated"] = _curation_decon_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

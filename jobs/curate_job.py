@@ -13,7 +13,14 @@ Common-Crawl-shaped table (BASELINE.json input_hint — url/text/lang):
 3. write the selected corpus + a one-row summary table.
 
 Args: INPUT OUTPUT TOKEN_BUDGET [allowed_langs csv] [key_col]
-      [lang_col] [token_col]
+      [lang_col] [token_col] [benchmark_urls_path] [benchmark_texts_path]
+
+``benchmark_urls_path`` / ``benchmark_texts_path`` (optional): eval-set
+decontamination legs (VERDICT r4 #7) — a table with a ``url`` column
+whose canonical forms are dropped up front, and a corpus with
+(key_col, text) whose word-8-gram overlaps are anti-joined after the
+keep filter (``pipeline/curation.curate``). Pass ``-`` to skip one
+while setting the other.
 
 ``token_col`` defaults to ``n_chars`` when present, else a
 whitespace token count is derived.
@@ -86,9 +93,21 @@ def main() -> int:
     if token_col == "__tokens":
         df = df.withColumn("__tokens", token_count(F.col("text")))
 
+    bench_urls = bench_texts = None
+    if len(sys.argv) > 8 and sys.argv[8] != "-":
+        bench_urls = read_source(spark, sys.argv[8])
+    if len(sys.argv) > 9 and sys.argv[9] != "-":
+        bench_texts = read_source(spark, sys.argv[9])
+        if key_col not in bench_texts.columns:
+            # contaminated_docs shingles the benchmark under the same
+            # id column; any unique id works — synthesize one
+            bench_texts = bench_texts.withColumn(
+                key_col, F.md5(F.coalesce(F.col("text"), F.lit(""))))
+
     out = curate(spark, df, token_budget, text_col="text",
                  key_col=key_col, lang_col=lang_col,
-                 token_col=token_col, allowed_langs=langs)
+                 token_col=token_col, allowed_langs=langs,
+                 benchmark_urls=bench_urls, benchmark_texts=bench_texts)
     out = out.drop("__tokens")
     if synth_key:
         out = out.drop("__doc_key")

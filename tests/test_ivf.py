@@ -109,6 +109,35 @@ class TestIVFIndex:
                                     n_probe=3).collect()
         assert sorted(map(tuple, inline)) == sorted(map(tuple, persisted))
 
+    def test_large_query_side_never_collects(self, spark, emb,
+                                             index_path):
+        """VERDICT r4 #6: corpus-vs-corpus retrieval (query set ≈
+        corpus) must not round-trip the probe through the driver. The
+        no-collect path joins the lazy probe plan on bucket — same
+        results, and the executed plan holds no LocalTableScan of
+        collected query rows (the collect path's signature)."""
+        from validatelite_spark.operators.similarity import ivf_index_probe
+        q = emb  # the whole corpus queries itself
+        small = ivf_index_probe(spark, index_path, q, k=3, n_probe=8,
+                                collect_probe=True)
+        big = ivf_index_probe(spark, index_path, q, k=3, n_probe=8,
+                              collect_probe=False)
+        assert sorted(map(tuple, small.collect())) == \
+            sorted(map(tuple, big.collect()))
+        # collected query rows surface as a driver-built leaf
+        # (ExistingRDD / LocalTableScan); the distributed path has none
+        driver_leaves = ("ExistingRDD", "LocalTableScan")
+        big_plan = big._jdf.queryExecution().executedPlan().toString()
+        small_plan = small._jdf.queryExecution().executedPlan().toString()
+        assert not any(s in big_plan for s in driver_leaves)
+        assert any(s in small_plan for s in driver_leaves)
+        # the threshold gate picks the distributed path on its own
+        auto = ivf_index_probe(spark, index_path, q, k=3, n_probe=8,
+                               collect_threshold=2)
+        assert not any(
+            s in auto._jdf.queryExecution().executedPlan().toString()
+            for s in driver_leaves)
+
     def test_arrow_scoring_matches_column_anchor(self, spark, emb,
                                                  index_path):
         # Round-3 verdict #5: the production probe scores candidates

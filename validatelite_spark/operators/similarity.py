@@ -498,6 +498,14 @@ def ivf_index_write(
     return cents
 
 
+#: above this many query rows ``ivf_index_probe`` stops collecting the
+#: query side to the driver. 100k probe rows × (id + vector + norm) is
+#: the comfortable ceiling for a driver round-trip + broadcast; a
+#: corpus-vs-corpus retrieval (query set ≈ corpus) blows far past it
+#: and must stay distributed end to end.
+IVF_PROBE_COLLECT_THRESHOLD = 100_000
+
+
 def ivf_index_probe(
     spark,
     path: str,
@@ -508,17 +516,34 @@ def ivf_index_probe(
     vec_col: str = "embedding",
     round_to: int = 6,
     arrow: bool = True,
+    collect_probe: bool | None = None,
+    collect_threshold: int = IVF_PROBE_COLLECT_THRESHOLD,
 ) -> DataFrame:
     """Top-k ANN against a persisted ``ivf_index_write`` index.
 
-    The queries' probe buckets are collected (≤ |queries|·n_probe ints —
-    the query side is small by contract) and applied as a LITERAL
-    ``bucket IN (...)`` predicate, so Catalyst prunes the non-probed
-    bucket partitions at planning time (``PartitionFilters`` on the
-    scan — pinned by tests/test_ivf.py). Scoring is identical to
-    ``ivf_topk``: stored norms, same rounding, same tie-break.
+    Two physical shapes, same results (size-gated like
+    ``keep_representatives`` — VERDICT r4 #6):
 
-    ``arrow=True`` (default — this IS the production path) scores
+    - **small query side** (≤ ``collect_threshold`` rows, or
+      ``collect_probe=True``): probe buckets are collected
+      (≤ |queries|·n_probe ints) and applied as a LITERAL
+      ``bucket IN (...)`` predicate, so Catalyst prunes the non-probed
+      bucket partitions at planning time (``PartitionFilters`` on the
+      scan — pinned by tests/test_ivf.py), and the rebuilt query rows
+      broadcast into the scoring join.
+    - **large query side** (``collect_probe=False`` or count above the
+      threshold): NOTHING is collected — the probe projection stays a
+      lazy plan evaluated exactly once inside a shuffled join on
+      ``bucket``. Corpus-vs-corpus retrieval probes essentially every
+      bucket anyway, so the literal pruning the collect path buys is
+      worthless there; the join key's cardinality is ``n_centroids``,
+      so at that scale build the index with n_centroids ≈ √corpus
+      (the standard IVF sizing) to keep per-bucket candidate sets —
+      and the bucket-join partitions AQE splits — bounded.
+
+    ``collect_probe=None`` counts the query side once to pick the path.
+    Scoring is identical either way: stored norms, same rounding, same
+    tie-break. ``arrow=True`` (default — the production path) scores
     candidates with the Arrow-batched einsum dot; ``arrow=False`` keeps
     the pure-Column expression the DuckDB oracle anchors on. Parity at
     ``round_to`` decimals is pinned by tests/test_ivf.py."""
@@ -530,30 +555,33 @@ def ivf_index_probe(
         spark, f"{path.rstrip('/')}/_ivf_centroids.json"))
     n_probe = min(n_probe, len(cents))
 
-    # the probe projection (pandas-UDF matmul + norms) feeds BOTH the
-    # bucket list and the scoring join; the query side is small by
-    # contract, so materialize it ONCE driver-side and rebuild — no
-    # second UDF evaluation and, unlike .cache(), nothing pinned in
-    # executor storage for the session lifetime
     q_plan = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
         F.explode(_probe_udf(cents, n_probe)(F.col(vec_col)))
         .alias("bucket"))
-    q_rows = q_plan.collect()
-    q = spark.createDataFrame(q_rows, q_plan.schema)
-    buckets = sorted({r["bucket"] for r in q_rows})
+    if collect_probe is None:
+        collect_probe = queries.count() <= collect_threshold
 
-    c = (spark.read.parquet(path)
-         .filter(F.col("bucket").isin(buckets))
-         .select(F.col(id_col).alias("neighbor_id"),
-                 F.col(vec_col).alias("cv"),
-                 F.col("__norm").alias("cn"), "bucket"))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", _candidate_score(round_to, arrow))
-    )
+    c_all = spark.read.parquet(path).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col("__norm").alias("cn"), "bucket")
+    if collect_probe:
+        # materialize the probe ONCE driver-side and rebuild — no
+        # second UDF evaluation and, unlike .cache(), nothing pinned
+        # in executor storage for the session lifetime
+        q_rows = q_plan.collect()
+        q = spark.createDataFrame(q_rows, q_plan.schema)
+        buckets = sorted({r["bucket"] for r in q_rows})
+        scored = (c_all.filter(F.col("bucket").isin(buckets))
+                  .join(F.broadcast(q), "bucket"))
+    else:
+        # distributed end to end: q_plan feeds exactly one join, so it
+        # evaluates once with no persist and no driver round-trip
+        scored = c_all.join(q_plan, "bucket")
+    scored = (scored
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("score", _candidate_score(round_to, arrow)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
