@@ -554,6 +554,101 @@ def _q_embedding_pairs_lsh(spark, sf_dir):
                                   n_planes=4, n_tables=16, dim=64)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023) over LSH sign-bit clusters — the
+    # fully SQL-replayable scale path: bucket = 6 seeded-hyperplane
+    # sign bits, ranking centroid = distributed per-bucket mean,
+    # dominance = within-bucket (centroid_sim ASC, id) upper-triangular
+    # rule at cosine >= 0.3 (operators/semdedup.py)
+    from validatelite_spark.operators.semdedup import semdedup_flags
+    emb = _emb_double(spark, sf_dir)
+    return (semdedup_flags(emb, eps=0.3, mode="lsh", n_planes=6, dim=64)
+            .select(F.col("id").alias("vec_id"), "bucket",
+                    "centroid_sim", "kept"))
+
+
+def _q_semantic_dedup_kmeans(spark, sf_dir):
+    # SemDeDup over k-means coarse clusters: iters=0 pins the
+    # deterministic first-k seed so the argmax-dot assignment (the
+    # production Arrow-matmul path, similarity._bucket_udf) is exactly
+    # replayed by the oracle's row_number-over-dot-desc rule; the
+    # Lloyd-refined path (iters>0) is pytest-verified vs a numpy
+    # reference in tests/test_semdedup.py
+    from validatelite_spark.operators.semdedup import semdedup_flags
+    emb = _emb_double(spark, sf_dir)
+    return (semdedup_flags(emb, eps=0.3, mode="kmeans", n_clusters=8,
+                           iters=0)
+            .select(F.col("id").alias("vec_id"), "bucket",
+                    "centroid_sim", "kept"))
+
+
+def _semdedup_tail(eps: float) -> str:
+    """Shared oracle tail: bucket-mean centroids (round(avg+1e-12, 6)
+    per dim, list rebuilt in dim order — the exact arithmetic of
+    ``semdedup.bucket_mean_centroids``), centroid_sim ranking, and the
+    dominance anti-set. Expects CTEs ``e(vec_id, v)`` and
+    ``assign(vec_id, bucket)``."""
+    return f"""
+ex AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+       FROM e),
+cents AS (
+  SELECT bucket, list(m ORDER BY dim) AS c FROM (
+    SELECT a.bucket, ex.dim, round(avg(ex.val) + 1e-12, 6) AS m
+    FROM ex JOIN assign a USING (vec_id) GROUP BY 1, 2) t
+  GROUP BY bucket),
+sims AS (
+  SELECT e.vec_id, a.bucket, e.v,
+         sqrt(list_dot_product(e.v, e.v)) AS nrm,
+         round(list_dot_product(e.v, c.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(c.c, c.c))), 6) AS centroid_sim
+  FROM e JOIN assign a USING (vec_id) JOIN cents c ON a.bucket = c.bucket),
+dropped AS (
+  SELECT DISTINCT p.vec_id
+  FROM sims p JOIN sims q ON p.bucket = q.bucket
+   AND (q.centroid_sim < p.centroid_sim OR
+        (q.centroid_sim = p.centroid_sim AND q.vec_id < p.vec_id))
+  WHERE round(list_dot_product(p.v, q.v) / (p.nrm * q.nrm), 6) >= {eps})
+SELECT s.vec_id, CAST(s.bucket AS BIGINT) AS bucket, s.centroid_sim,
+       (d.vec_id IS NULL) AS kept
+FROM sims s LEFT JOIN dropped d ON s.vec_id = d.vec_id"""
+
+
+def _semdedup_lsh_oracle(eps: float = 0.3) -> str:
+    """DuckDB replay of ``_q_semantic_dedup``: same seeded plane
+    literals as the Spark signature UDF (table 0 of ``_plane_rows``),
+    then the shared bucket-mean + dominance tail."""
+    rows = _plane_rows(n_planes=6, n_tables=1)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p(tbl, plane, w) AS (VALUES {rows}),
+assign AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+                  THEN (1::bigint << p.plane) ELSE 0 END) AS bucket
+  FROM e, p GROUP BY 1),
+{_semdedup_tail(eps)}"""
+
+
+def _semdedup_kmeans_oracle(eps: float = 0.3, k: int = 8) -> str:
+    """DuckDB replay of ``_q_semantic_dedup_kmeans``: seed centroids =
+    first k vectors by id (``similarity._centroids_of`` at iters=0),
+    assignment = argmax dot with ties to the lowest centroid id (the
+    np.argmax rule), then the shared tail."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}) s),
+assign AS (
+  SELECT vec_id, bucket FROM (
+    SELECT e.vec_id, c0.cid AS bucket,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c0.c) DESC, c0.cid) AS rn
+    FROM e, c0) t WHERE rn = 1),
+{_semdedup_tail(eps)}"""
+
+
 # ------------------------------------------------------- events queries
 
 def _q_events_daily(spark, sf_dir):
@@ -1476,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "curation_decontaminated": _q_curation_decon,
         # ---- round 4 additions the driver window never reached ----
         "range_signup_purchase": _q_range_signup_purchase,
@@ -2178,5 +2275,7 @@ FROM documents, bll b""",
         FROM c JOIN w ON c.cu = w.cu AND c.doc_id = w.k"""
     out["curation_end_to_end"] = _curation_oracle()
     out["curation_decontaminated"] = _curation_decon_oracle()
+    out["semantic_dedup"] = _semdedup_lsh_oracle()
+    out["semantic_dedup_kmeans"] = _semdedup_kmeans_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

@@ -29,6 +29,10 @@ from validatelite_spark.operators.multimodal import (
     frame_sample,
 )
 from validatelite_spark.operators.rollup import time_rollup
+from validatelite_spark.operators.semdedup import (
+    semdedup_flags,
+    semdedup_keep,
+)
 from validatelite_spark.operators.sampling import (
     hash_sample,
     token_budget_filter,
@@ -64,6 +68,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "range_join",
+    "semdedup_flags",
+    "semdedup_keep",
     "simhash_pairs",
     "strip_blocklisted_lines",
     "time_rollup",
