@@ -649,6 +649,84 @@ assign AS (
 {_semdedup_tail(eps)}"""
 
 
+def _dsir_split(spark, sf_dir):
+    # target = the md5-sixteenth "benchmark-like" subset (same flag the
+    # decontaminate query uses), raw = the rest of the crawl
+    docs = _read(spark, sf_dir, "documents")
+    is_t = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return docs.filter(is_t), docs.filter(~is_t)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR (Xie et al. 2023) log importance weights: hashed uni+bigram
+    # bucket models of target vs raw, add-1 smoothing over 1024 buckets
+    # (operators/dsir.py) — every step replayed by the DuckDB oracle
+    from validatelite_spark.operators.dsir import dsir_weights
+    target, raw = _dsir_split(spark, sf_dir)
+    return (dsir_weights(target, raw, n_buckets=1024)
+            .withColumnRenamed("id", "doc_id"))
+
+
+def _q_dsir_sample(spark, sf_dir):
+    # Gumbel-top-k importance resample without replacement — the
+    # deterministic (md5-seeded) selection of the 50 most
+    # target-like raw documents
+    from validatelite_spark.operators.dsir import dsir_resample
+    target, raw = _dsir_split(spark, sf_dir)
+    return (dsir_resample(target, raw, k=50, n_buckets=1024, seed=42)
+            .withColumnRenamed("id", "doc_id"))
+
+
+def _dsir_oracle(sample: bool = False, n_buckets: int = 1024,
+                 alpha: float = 1.0, k: int = 50, seed: int = 42) -> str:
+    """DuckDB replay of the DSIR pipeline: same tokens, same uni+bigram
+    occurrences, same md5 bucket hash, same smoothed log-ratio table
+    (unseen buckets via range({B})), same per-doc sums — and for the
+    sample, the same md5-uniform Gumbel draw and (score DESC, id) cut."""
+    head = f"""
+WITH d AS (SELECT doc_id, text,
+                  substr(md5(cast(doc_id AS varchar)), 1, 1) = '0' AS is_t
+           FROM documents),
+tkt AS (SELECT doc_id, is_t, {_d_tokens('text')} AS tk FROM d),
+grams AS (
+  SELECT doc_id, is_t,
+         unnest(list_concat(tk,
+            list_transform(range(1, len(tk)),
+                           i -> array_to_string(tk[i:i+1], ' ')))) AS g
+  FROM tkt WHERE tk IS NOT NULL),
+bk AS (SELECT doc_id, is_t,
+              CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                % {n_buckets} AS bucket
+       FROM grams),
+dom AS (SELECT range AS bucket FROM range({n_buckets})),
+tc AS (SELECT bucket, count(*) AS c FROM bk WHERE is_t GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS c FROM bk WHERE NOT is_t GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM bk WHERE is_t) AS tt,
+               (SELECT count(*) FROM bk WHERE NOT is_t) AS rt),
+lam AS (SELECT dom.bucket,
+               ln((coalesce(tc.c, 0) + {alpha}) / (tot.tt + {alpha} * {n_buckets}))
+             - ln((coalesce(rc.c, 0) + {alpha}) / (tot.rt + {alpha} * {n_buckets}))
+               AS llr
+        FROM dom LEFT JOIN tc USING (bucket)
+                 LEFT JOIN rc USING (bucket), tot),
+sums AS (SELECT doc_id, sum(lam.llr) AS s
+         FROM bk JOIN lam USING (bucket) WHERE NOT bk.is_t GROUP BY 1)"""
+    if not sample:
+        return head + """
+SELECT d.doc_id, round(coalesce(sums.s, 0.0) + 1e-9, 6) AS logw
+FROM d LEFT JOIN sums USING (doc_id) WHERE NOT d.is_t"""
+    return head + f""",
+scored AS (
+  SELECT d.doc_id, coalesce(sums.s, 0.0) AS s,
+         ((CAST(('0x' || substr(md5(cast(d.doc_id AS varchar)
+                                     || ':{seed}'), 1, 8)) AS BIGINT)
+           % 1000000) + 0.5) / 1000000.0 AS u
+  FROM d LEFT JOIN sums USING (doc_id) WHERE NOT d.is_t)
+SELECT doc_id, round(s + 1e-9, 6) AS logw,
+       round(s + (-ln(-ln(u))) + 1e-9, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 # ------------------------------------------------------- events queries
 
 def _q_events_daily(spark, sf_dir):
@@ -1571,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
         "semantic_dedup": _q_semantic_dedup,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "curation_decontaminated": _q_curation_decon,
@@ -2277,5 +2357,7 @@ FROM documents, bll b""",
     out["curation_decontaminated"] = _curation_decon_oracle()
     out["semantic_dedup"] = _semdedup_lsh_oracle()
     out["semantic_dedup_kmeans"] = _semdedup_kmeans_oracle()
+    out["dsir_weights"] = _dsir_oracle(sample=False)
+    out["dsir_sample"] = _dsir_oracle(sample=True)
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

@@ -28,6 +28,10 @@ from validatelite_spark.operators.multimodal import (
     decode_media,
     frame_sample,
 )
+from validatelite_spark.operators.dsir import (
+    dsir_resample,
+    dsir_weights,
+)
 from validatelite_spark.operators.rollup import time_rollup
 from validatelite_spark.operators.semdedup import (
     semdedup_flags,
@@ -54,6 +58,8 @@ __all__ = [
     "dedup_groups",
     "domain_quality_filter",
     "domain_stats",
+    "dsir_resample",
+    "dsir_weights",
     "embedding_cosine_pairs",
     "exact_dedup",
     "frame_sample",
