@@ -1238,6 +1238,40 @@ def _q_hash_sample(spark, sf_dir):
             .select("doc_id", "lang", "n_chars"))
 
 
+_MIX_WEIGHTS = {"en": 0.6, "de": 0.3, "fr": 0.1}
+_MIX_TOTAL = 20000
+
+
+def _q_mixture_sample(spark, sf_dir):
+    # static data mixing (operators/sampling.py mixture_budget_filter):
+    # a 20k-token budget split 60/30/10 across en/de/fr, each group cut
+    # by the two-phase prefix sum at its share; other langs pruned at
+    # the scan
+    from validatelite_spark.operators.sampling import mixture_budget_filter
+    docs = _read(spark, sf_dir, "documents")
+    kept = mixture_budget_filter(docs, _MIX_TOTAL, _MIX_WEIGHTS,
+                                 token_col="n_chars", by="lang",
+                                 order_col="n_chars", key_col="doc_id")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+def _mixture_oracle() -> str:
+    from validatelite_spark.operators.sampling import \
+        mixture_weights_to_budgets
+    budgets = mixture_weights_to_budgets(_MIX_TOTAL, _MIX_WEIGHTS)
+    langs = ", ".join(f"'{g}'" for g in budgets)
+    case = " ".join(f"WHEN '{g}' THEN {v}" for g, v in budgets.items())
+    return f"""
+WITH running AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS pre
+  FROM documents WHERE lang IN ({langs}))
+SELECT doc_id, lang, n_chars FROM running
+WHERE pre < CASE lang {case} ELSE 0 END"""
+
+
 def _q_token_budget(spark, sf_dir):
     # data-mixing primitive: per-lang token budget, docs taken in
     # deterministic order until the running pre-doc total hits budget
@@ -1649,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "mixture_sample": _q_mixture_sample,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "semantic_dedup": _q_semantic_dedup,
@@ -2359,5 +2394,6 @@ FROM documents, bll b""",
     out["semantic_dedup_kmeans"] = _semdedup_kmeans_oracle()
     out["dsir_weights"] = _dsir_oracle(sample=False)
     out["dsir_sample"] = _dsir_oracle(sample=True)
+    out["mixture_sample"] = _mixture_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

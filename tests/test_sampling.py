@@ -323,3 +323,62 @@ class TestCapPerGroup:
         asc = cap_per_group(df, "g", 3, "q", "k", descending=False)
         got = sorted(r["k"] for r in asc.collect())
         assert got == [1, 4, 5]  # real values first, NULLs fill leftovers
+
+
+class TestMixtureBudget:
+    def _df(self, spark):
+        rows = [(i, ["en", "de", "fr", "it"][i % 4], 100 + (i * 37) % 200)
+                for i in range(80)]
+        return spark.createDataFrame(rows, "doc_id long, lang string, n long")
+
+    def test_budgets_proportional_and_inclusive_cut(self, spark):
+        from validatelite_spark.operators.sampling import (
+            mixture_budget_filter, mixture_weights_to_budgets)
+        df = self._df(spark)
+        weights = {"en": 0.6, "de": 0.3, "fr": 0.1}
+        kept = mixture_budget_filter(df, 2000, weights, "n", "lang",
+                                     order_col="n", key_col="doc_id")
+        budgets = mixture_weights_to_budgets(2000, weights)
+        per = {r["lang"]: r["tok"] for r in
+               kept.groupBy("lang").agg(F.sum("n").alias("tok")).collect()}
+        assert "it" not in per  # outside the mixture -> pruned
+        for g, bud in budgets.items():
+            # inclusive cut: reaches the budget (or exhausts the group)
+            total_g = (df.filter(F.col("lang") == g)
+                       .agg(F.sum("n")).first()[0])
+            assert per[g] >= min(bud, total_g)
+            # removing the LAST kept doc must drop below budget
+            last = (kept.filter(F.col("lang") == g)
+                    .orderBy(F.desc("n"), F.desc("doc_id")).first())
+            assert per[g] - last["n"] < bud
+
+    def test_weight_scale_invariance(self, spark):
+        from validatelite_spark.operators.sampling import \
+            mixture_budget_filter
+        df = self._df(spark)
+        a = sorted(r["doc_id"] for r in mixture_budget_filter(
+            df, 1500, {"en": 0.6, "de": 0.4}, "n", "lang",
+            order_col="n", key_col="doc_id").collect())
+        b = sorted(r["doc_id"] for r in mixture_budget_filter(
+            df, 1500, {"en": 6, "de": 4}, "n", "lang",
+            order_col="n", key_col="doc_id").collect())
+        assert a == b  # weights renormalize
+
+    def test_uniform_dict_equals_scalar(self, spark):
+        from validatelite_spark.operators.sampling import \
+            token_budget_filter
+        df = self._df(spark)
+        a = sorted(r["doc_id"] for r in token_budget_filter(
+            df, 600, "n", "lang", order_col="n",
+            key_col="doc_id").collect())
+        b = sorted(r["doc_id"] for r in token_budget_filter(
+            df, {g: 600 for g in ("en", "de", "fr", "it")}, "n", "lang",
+            order_col="n", key_col="doc_id").collect())
+        assert a == b
+
+    def test_bad_weights_raise(self, spark):
+        from validatelite_spark.operators.sampling import \
+            mixture_weights_to_budgets
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            mixture_weights_to_budgets(100, {"en": 0.0})

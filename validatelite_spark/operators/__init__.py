@@ -39,6 +39,7 @@ from validatelite_spark.operators.semdedup import (
 )
 from validatelite_spark.operators.sampling import (
     hash_sample,
+    mixture_budget_filter,
     token_budget_filter,
 )
 from validatelite_spark.operators.similarity import (
@@ -72,6 +73,7 @@ __all__ = [
     "line_dedup",
     "lsh_topk",
     "minhash_lsh_pairs",
+    "mixture_budget_filter",
     "ngram_jaccard_pairs",
     "range_join",
     "semdedup_flags",

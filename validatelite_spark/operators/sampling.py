@@ -67,7 +67,7 @@ def hash_sample(
 
 def token_budget_filter(
     df: DataFrame,
-    budget: int,
+    budget: int | dict,
     token_col: str,
     by: str,
     order_col: str = None,
@@ -75,6 +75,11 @@ def token_budget_filter(
     n_buckets: int = 64,
 ) -> DataFrame:
     """Keep documents per ``by`` group until ``budget`` tokens.
+
+    ``budget`` is a single int (every group gets the same budget) or a
+    ``{group_value: budget}`` dict (per-group budgets — the data-mixing
+    path, see ``mixture_budget_filter``); groups absent from the dict
+    get budget 0 and are dropped entirely.
 
     Documents are taken in ascending ``order_col`` (ties broken by
     ``key_col`` for determinism); a doc is kept while the running token
@@ -146,12 +151,63 @@ def token_budget_filter(
     w = (Window.partitionBy(by, "__bkt").orderBy(*intra)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     pre = (F.col("__off") + F.sum(token_col).over(w) - F.col(token_col))
+    if isinstance(budget, dict):
+        # literal CASE on the group value: |groups| is mixture-sized
+        # (languages/domains), so the expression stays small and the
+        # whole plan remains SQL-replayable; NULL-safe equality so a
+        # NULL group key can carry a budget too
+        bud = F.lit(0)
+        for g, v in budget.items():
+            bud = F.when(F.col(by).eqNullSafe(F.lit(g)),
+                         F.lit(int(v))).otherwise(bud)
+    else:
+        bud = F.lit(int(budget))
     return (b.join(F.broadcast(offsets),
                    F.col(by).eqNullSafe(F.col("__gk"))
                    & (F.col("__bkt") == F.col("__obkt")))
             .withColumn("__pre", pre)
-            .filter(F.col("__pre") < budget)
+            .filter(F.col("__pre") < bud)
             .drop("__pre", "__bkt", "__obkt", "__off", "__gk"))
+
+
+def mixture_weights_to_budgets(total_budget: int,
+                               weights: dict) -> dict:
+    """{group: token budget} — weights renormalized to sum 1, budgets
+    rounded half-even (shared by the Spark path and the oracle SQL
+    builder so the two sides cannot drift)."""
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    return {g: int(round(total_budget * w / tot))
+            for g, w in weights.items()}
+
+
+def mixture_budget_filter(
+    df: DataFrame,
+    total_budget: int,
+    weights: dict,
+    token_col: str,
+    by: str,
+    order_col: str = None,
+    key_col: str = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Static data mixing (the DoReMi / Pile recipe shape): split a
+    total token budget across ``by`` groups in proportion to target
+    mixture ``weights`` and take each group's documents in ascending
+    ``order_col`` until its share is filled (inclusive cut — each
+    group lands at or just past its share, so the mix reaches the
+    total instead of undershooting).
+
+    Groups outside ``weights`` are filtered BEFORE the prefix-sum
+    machinery (predicate pushes to the scan); the per-group cut reuses
+    ``token_budget_filter``'s two-phase prefix sum, so no group ever
+    funnels through a single task."""
+    budgets = mixture_weights_to_budgets(total_budget, weights)
+    pruned = df.filter(F.col(by).isin(list(budgets)))
+    return token_budget_filter(pruned, budgets, token_col, by,
+                               order_col=order_col, key_col=key_col,
+                               n_buckets=n_buckets)
 
 
 def stratified_sample(
