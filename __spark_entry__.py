@@ -1238,6 +1238,68 @@ def _q_hash_sample(spark, sf_dir):
             .select("doc_id", "lang", "n_chars"))
 
 
+_SEQ_LEN = 2048
+
+
+def _q_pack_sequences(spark, sf_dir):
+    # concat-and-chunk sequence packing (operators/packing.py): one
+    # global stream, docs concatenated in doc_id order, cut every
+    # 2048 "tokens" (n_chars) — per-doc placement report
+    from validatelite_spark.operators.packing import pack_sequences
+    docs = _read(spark, sf_dir, "documents")
+    return (pack_sequences(docs, _SEQ_LEN, "n_chars",
+                           order_col="doc_id", key_col="doc_id")
+            .select("doc_id", "n_chars", "seq_start", "first_seq",
+                    "last_seq", "n_seqs", "seq_offset"))
+
+
+def _q_packing_stats(spark, sf_dir):
+    # per-language packing report: windows produced, split docs,
+    # tail padding — the data-card numbers for a packed shard
+    from validatelite_spark.operators.packing import packing_stats
+    docs = _read(spark, sf_dir, "documents")
+    return (packing_stats(docs, _SEQ_LEN, "n_chars",
+                          order_col="doc_id", key_col="doc_id",
+                          by="lang")
+            .select("lang", "n_docs", "total_tokens", "n_sequences",
+                    "split_docs", "tail_padding"))
+
+
+def _pack_oracle(stats: bool) -> str:
+    L = _SEQ_LEN
+    part = "PARTITION BY lang " if stats else ""
+    base = f"""
+WITH p AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(sum(n_chars) OVER ({part}ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_chars AS BIGINT) AS seq_start
+  FROM documents),
+q AS (
+  SELECT doc_id, lang, n_chars, seq_start,
+         seq_start // {L} AS first_seq,
+         CASE WHEN n_chars <= 0 THEN seq_start // {L}
+              ELSE (seq_start + n_chars - 1) // {L} END AS last_seq
+  FROM p)"""
+    if not stats:
+        return base + f"""
+SELECT doc_id, n_chars, seq_start,
+       CAST(first_seq AS BIGINT) AS first_seq,
+       CAST(last_seq AS BIGINT) AS last_seq,
+       CAST(last_seq - first_seq + 1 AS BIGINT) AS n_seqs,
+       CAST(seq_start % {L} AS BIGINT) AS seq_offset
+FROM q"""
+    return base + f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+       CAST(max(last_seq) + 1 AS BIGINT) AS n_sequences,
+       CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+            AS BIGINT) AS split_docs,
+       CAST((max(last_seq) + 1) * {L} - sum(n_chars) AS BIGINT)
+         AS tail_padding
+FROM q GROUP BY lang"""
+
+
 _MIX_WEIGHTS = {"en": 0.6, "de": 0.3, "fr": 0.1}
 _MIX_TOTAL = 20000
 
@@ -1683,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "pack_sequences": _q_pack_sequences,
+        "packing_stats": _q_packing_stats,
         "mixture_sample": _q_mixture_sample,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
@@ -2395,5 +2459,7 @@ FROM documents, bll b""",
     out["dsir_weights"] = _dsir_oracle(sample=False)
     out["dsir_sample"] = _dsir_oracle(sample=True)
     out["mixture_sample"] = _mixture_oracle()
+    out["pack_sequences"] = _pack_oracle(stats=False)
+    out["packing_stats"] = _pack_oracle(stats=True)
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

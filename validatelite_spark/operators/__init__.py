@@ -37,9 +37,14 @@ from validatelite_spark.operators.semdedup import (
     semdedup_flags,
     semdedup_keep,
 )
+from validatelite_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
 from validatelite_spark.operators.sampling import (
     hash_sample,
     mixture_budget_filter,
+    prefix_sums,
     token_budget_filter,
 )
 from validatelite_spark.operators.similarity import (
@@ -75,6 +80,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "mixture_budget_filter",
     "ngram_jaccard_pairs",
+    "pack_sequences",
+    "packing_stats",
+    "prefix_sums",
     "range_join",
     "semdedup_flags",
     "semdedup_keep",

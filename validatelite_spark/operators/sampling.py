@@ -65,39 +65,31 @@ def hash_sample(
     return df.filter(bucket < F.lit(threshold))
 
 
-def token_budget_filter(
+def prefix_sums(
     df: DataFrame,
-    budget: int | dict,
     token_col: str,
     by: str,
     order_col: str = None,
     key_col: str = None,
     n_buckets: int = 64,
+    out_col: str = "__pre",
 ) -> DataFrame:
-    """Keep documents per ``by`` group until ``budget`` tokens.
+    """Scalable per-group running totals: every input column plus
+    ``out_col`` = the sum of ``token_col`` over all rows of the same
+    ``by`` group that sort STRICTLY BEFORE this row in ascending
+    (``order_col``, ``key_col``) order — i.e. the pre-row prefix sum.
 
-    ``budget`` is a single int (every group gets the same budget) or a
-    ``{group_value: budget}`` dict (per-group budgets — the data-mixing
-    path, see ``mixture_budget_filter``); groups absent from the dict
-    get budget 0 and are dropped entirely.
-
-    Documents are taken in ascending ``order_col`` (ties broken by
-    ``key_col`` for determinism); a doc is kept while the running token
-    total BEFORE it is under the budget, so each group ends at or just
-    past its budget (never empty when any doc exists).
-
-    Two-phase prefix sum (see module docstring): each group is
-    range-bucketed on ``order_col`` into ``n_buckets`` buckets; the
-    global pre-doc running total is the group's cumulative bucket offset
-    (computed on the tiny per-bucket sums) plus the intra-bucket cumsum,
-    so the heavy window partitions by (group, bucket) — no
-    one-task-per-group bottleneck. Bucketing is a monotone function of
-    ``order_col`` alone, so bucket boundaries never split an order tie
-    and the result is identical to the single-window definition at any
-    partitioning. Degenerate case: a group whose ``order_col`` is a
-    single constant collapses to one bucket (ordering within it is pure
-    ``key_col``, which range-bucketing on the order column cannot split).
-    """
+    This is the shared two-phase machinery behind
+    ``token_budget_filter`` / ``mixture_budget_filter`` (budget cuts)
+    and ``pack_sequences`` (sequence packing). Scale shape (module
+    docstring): a naive ``Window.partitionBy(by)`` cumsum funnels each
+    group through ONE task; instead each group is range-bucketed on
+    ``order_col`` into ``n_buckets`` buckets, per-bucket sums (a tiny
+    |groups| × n_buckets table) become cumulative bucket offsets via a
+    window over that tiny table, and the heavy window partitions by
+    (group, bucket). Bucketing is a monotone function of ``order_col``
+    alone, so bucket boundaries never split an order tie and the result
+    equals the single-window definition at any partitioning."""
     order_col = order_col or token_col
     # range bucketing casts order_col to double: a non-numeric order
     # column would raise CAST_INVALID_INPUT under ANSI mode — or, under
@@ -107,7 +99,7 @@ def token_budget_filter(
     ot = df.schema[order_col].dataType
     if not isinstance(ot, (NumericType, TimestampType)):
         raise TypeError(
-            f"token_budget_filter order_col {order_col!r} must be "
+            f"prefix_sums order_col {order_col!r} must be "
             f"numeric or timestamp (got {ot.simpleString()}) — range "
             "bucketing needs a castable order; use a numeric sort key")
     intra = [F.col(order_col)]
@@ -151,6 +143,40 @@ def token_budget_filter(
     w = (Window.partitionBy(by, "__bkt").orderBy(*intra)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     pre = (F.col("__off") + F.sum(token_col).over(w) - F.col(token_col))
+    return (b.join(F.broadcast(offsets),
+                   F.col(by).eqNullSafe(F.col("__gk"))
+                   & (F.col("__bkt") == F.col("__obkt")))
+            .withColumn(out_col, pre)
+            .drop("__bkt", "__obkt", "__off", "__gk"))
+
+
+def token_budget_filter(
+    df: DataFrame,
+    budget: int | dict,
+    token_col: str,
+    by: str,
+    order_col: str = None,
+    key_col: str = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Keep documents per ``by`` group until ``budget`` tokens.
+
+    ``budget`` is a single int (every group gets the same budget) or a
+    ``{group_value: budget}`` dict (per-group budgets — the data-mixing
+    path, see ``mixture_budget_filter``); groups absent from the dict
+    get budget 0 and are dropped entirely.
+
+    Documents are taken in ascending ``order_col`` (ties broken by
+    ``key_col`` for determinism); a doc is kept while the running token
+    total BEFORE it is under the budget, so each group ends at or just
+    past its budget (never empty when any doc exists). Running totals
+    come from ``prefix_sums`` (two-phase — no one-task-per-group
+    bottleneck). Degenerate case: a group whose ``order_col`` is a
+    single constant collapses to one bucket (ordering within it is pure
+    ``key_col``, which range-bucketing on the order column cannot
+    split)."""
+    pre = prefix_sums(df, token_col, by, order_col=order_col,
+                      key_col=key_col, n_buckets=n_buckets)
     if isinstance(budget, dict):
         # literal CASE on the group value: |groups| is mixture-sized
         # (languages/domains), so the expression stays small and the
@@ -162,12 +188,7 @@ def token_budget_filter(
                          F.lit(int(v))).otherwise(bud)
     else:
         bud = F.lit(int(budget))
-    return (b.join(F.broadcast(offsets),
-                   F.col(by).eqNullSafe(F.col("__gk"))
-                   & (F.col("__bkt") == F.col("__obkt")))
-            .withColumn("__pre", pre)
-            .filter(F.col("__pre") < bud)
-            .drop("__pre", "__bkt", "__obkt", "__off", "__gk"))
+    return pre.filter(F.col("__pre") < bud).drop("__pre")
 
 
 def mixture_weights_to_budgets(total_budget: int,
