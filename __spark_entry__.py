@@ -1238,6 +1238,233 @@ def _q_hash_sample(spark, sf_dir):
             .select("doc_id", "lang", "n_chars"))
 
 
+#: synthetic multi-label hosts + a blocklist with 1-, 2- and 3-label
+#: entries, exercising TLD-, domain- and exact-host-level blocks
+_BLOCKLIST = ["d3.com", "s1.d2.com", "d5.org"]
+_HOST_SQL = ("'s' || CAST(doc_id % 3 AS VARCHAR) || '.d' || "
+             "CAST(doc_id % 7 AS VARCHAR) || "
+             "CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END")
+
+
+def _hosts(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    return d.withColumn("host", F.concat(
+        F.lit("s"), (i % 3).cast("string"), F.lit(".d"),
+        (i % 7).cast("string"),
+        F.when(i % 2 == 0, F.lit(".com")).otherwise(F.lit(".org"))))
+
+
+def _q_blocklist_filter(spark, sf_dir):
+    # UT1-style subdomain-aware blocklist (operators/domains.py):
+    # label-suffix match via substring_index expansion + semi-join —
+    # 'd3.com' blocks every s*.d3.com, exact entries block one host
+    from validatelite_spark.operators.domains import (
+        domain_blocklist_filter,
+    )
+    hosts = _hosts(spark, sf_dir)
+    return domain_blocklist_filter(hosts, _BLOCKLIST, "host",
+                                   "doc_id", mode="drop")
+
+
+def _blocklist_oracle() -> str:
+    bl = ", ".join(f"('{d}')" for d in _BLOCKLIST)
+    return f"""
+WITH h AS (SELECT doc_id, {_HOST_SQL} AS host FROM documents)
+SELECT doc_id, host FROM h
+WHERE NOT EXISTS (
+  SELECT 1 FROM (VALUES {bl}) b(d)
+  WHERE h.host = b.d OR h.host LIKE '%.' || b.d)"""
+
+
+_DRIFT_FILTER_SQL = ("n_chars BETWEEN 100 AND 400 "
+                     "AND lang IN ('en','de','fr')")
+
+
+def _drift_frames(spark, sf_dir):
+    docs = (_read(spark, sf_dir, "documents")
+            .withColumn("text_len", F.length("text")))
+    new = docs.filter((F.col("n_chars") >= 100)
+                      & (F.col("n_chars") <= 400)
+                      & F.col("lang").isin("en", "de", "fr"))
+    return docs, new
+
+
+def _q_drift_report(spark, sf_dir):
+    # snapshot drift (operators/drift.py): PSI + binned KS between the
+    # raw corpus and its filtered subset — "what did the filter do to
+    # the distribution" — one fused agg per snapshot
+    from validatelite_spark.operators.drift import drift_report
+    ref, new = _drift_frames(spark, sf_dir)
+    return drift_report(ref, new, ["n_chars", "text_len"], bins=10)
+
+
+def _q_categorical_drift(spark, sf_dir):
+    # per-category PSI decomposition over lang (NULL its own category)
+    from validatelite_spark.operators.drift import categorical_drift
+    ref, new = _drift_frames(spark, sf_dir)
+    return categorical_drift(ref, new, "lang")
+
+
+def _drift_oracle() -> str:
+    cols = [("n_chars", "CAST(n_chars AS DOUBLE)"),
+            ("text_len", "CAST(length(text) AS DOUBLE)")]
+    B, eps = 10, 1e-4
+    rg = ", ".join(f"min({e}) AS lo_{c}, max({e}) AS hi_{c}"
+                   for c, e in cols)
+
+    def bins_of(src):
+        legs = []
+        for c, e in cols:
+            legs.append(f"""
+  SELECT '{c}' AS col_name,
+         CASE WHEN {e} IS NULL THEN -1
+              WHEN hi_{c} - lo_{c} <= 0 THEN 0
+              ELSE GREATEST(0, LEAST({B - 1}, CAST(floor(
+                   ({e} - lo_{c}) / (hi_{c} - lo_{c}) * {B})
+                   AS INT))) END AS bin
+  FROM {src}, rg""")
+        return " UNION ALL ".join(legs)
+
+    grid_cols = ", ".join(f"('{c}')" for c, _ in cols)
+    return f"""
+WITH rg AS (SELECT {rg} FROM documents),
+br AS ({bins_of('documents')}),
+bn AS ({bins_of(f'(SELECT * FROM documents WHERE {_DRIFT_FILTER_SQL})')}),
+grid AS (SELECT col_name, CAST(k AS INT) AS bin
+         FROM (VALUES {grid_cols}) c(col_name)
+         CROSS JOIN range(-1, {B}) t(k)),
+cr AS (SELECT col_name, bin, count(*) AS cr FROM br GROUP BY 1, 2),
+cn AS (SELECT col_name, bin, count(*) AS cn FROM bn GROUP BY 1, 2),
+m AS (SELECT g.col_name, g.bin,
+             COALESCE(cr.cr, 0) AS cr, COALESCE(cn.cn, 0) AS cn
+      FROM grid g LEFT JOIN cr USING (col_name, bin)
+                  LEFT JOIN cn USING (col_name, bin)),
+t AS (SELECT *,
+        sum(cr) OVER (PARTITION BY col_name) AS tot_r,
+        sum(cn) OVER (PARTITION BY col_name) AS tot_n,
+        sum(CASE WHEN bin = -1 THEN cr ELSE 0 END)
+          OVER (PARTITION BY col_name) AS null_r,
+        sum(CASE WHEN bin = -1 THEN cn ELSE 0 END)
+          OVER (PARTITION BY col_name) AS null_n,
+        sum(CASE WHEN bin >= 0 THEN cr ELSE 0 END)
+          OVER (PARTITION BY col_name ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum_r,
+        sum(CASE WHEN bin >= 0 THEN cn ELSE 0 END)
+          OVER (PARTITION BY col_name ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum_n
+      FROM m)
+SELECT col_name,
+  CAST(max(tot_r - null_r) AS BIGINT) AS n_ref,
+  CAST(max(tot_n - null_n) AS BIGINT) AS n_new,
+  CAST(max(null_r) AS BIGINT) AS null_ref,
+  CAST(max(null_n) AS BIGINT) AS null_new,
+  round(sum(((cr + {eps}) / (tot_r + {B + 1} * {eps})
+           - (cn + {eps}) / (tot_n + {B + 1} * {eps}))
+          * ln(((cr + {eps}) / (tot_r + {B + 1} * {eps}))
+             / ((cn + {eps}) / (tot_n + {B + 1} * {eps}))))
+        + 1e-9, 6) AS psi,
+  round(COALESCE(max(CASE WHEN bin >= 0 THEN
+          abs(cum_r / CAST(NULLIF(tot_r - null_r, 0) AS DOUBLE)
+            - cum_n / CAST(NULLIF(tot_n - null_n, 0) AS DOUBLE))
+        END), 0.0) + 1e-9, 6) AS ks
+FROM t GROUP BY col_name"""
+
+
+def _categorical_drift_oracle() -> str:
+    eps = 1e-4
+    return f"""
+WITH cr AS (SELECT lang AS cat, count(*) AS cnt_ref
+            FROM documents GROUP BY lang),
+cn AS (SELECT lang AS cat, count(*) AS cnt_new FROM documents
+       WHERE {_DRIFT_FILTER_SQL} GROUP BY lang),
+j AS (SELECT COALESCE(cr.cat, cn.cat) AS category,
+             COALESCE(cnt_ref, 0) AS cnt_ref,
+             COALESCE(cnt_new, 0) AS cnt_new
+      FROM cr FULL OUTER JOIN cn ON cr.cat IS NOT DISTINCT FROM cn.cat),
+t AS (SELECT *,
+        count(*) OVER () AS ncat,
+        sum(cnt_ref) OVER () AS tr, sum(cnt_new) OVER () AS tn
+      FROM j)
+SELECT category, CAST(cnt_ref AS BIGINT) AS cnt_ref,
+       CAST(cnt_new AS BIGINT) AS cnt_new,
+       round((cnt_ref + {eps}) / (tr + ncat * {eps}) + 1e-9, 6)
+         AS p_ref,
+       round((cnt_new + {eps}) / (tn + ncat * {eps}) + 1e-9, 6)
+         AS p_new,
+       round(((cnt_ref + {eps}) / (tr + ncat * {eps})
+            - (cnt_new + {eps}) / (tn + ncat * {eps}))
+           * ln(((cnt_ref + {eps}) / (tr + ncat * {eps}))
+              / ((cnt_new + {eps}) / (tn + ncat * {eps})))
+           + 1e-9, 6) AS psi_term
+FROM t"""
+
+
+_OVERLAP_RULES = ["not_null(text)", "range(n_chars,100,400)",
+                  "enum(lang,en,de,fr)", "length(text,50,1000)"]
+
+
+def _overlap_rules():
+    from validatelite_spark.core.rule_parser import parse_rules
+    return parse_rules(_OVERLAP_RULES)
+
+
+def _q_rule_overlap(spark, sf_dir):
+    # filter-ablation Venn (operators/overlap.py): every observed
+    # failure combination of the 4 engine rules, counted in ONE scan —
+    # predicates come from the SAME compiler the engine uses
+    from validatelite_spark.operators.overlap import rule_overlap
+    docs = _read(spark, sf_dir, "documents")
+    return rule_overlap(docs, _overlap_rules())
+
+
+def _q_rule_marginals(spark, sf_dir):
+    # per-rule ablation summary: total fails + fails ONLY this rule
+    # catches (its irreplaceable contribution), from the mask table
+    from validatelite_spark.operators.overlap import rule_marginals
+    docs = _read(spark, sf_dir, "documents")
+    return rule_marginals(docs, _overlap_rules())
+
+
+#: (bit value, rule name, DuckDB fail predicate) — NULL semantics per
+#: rule type are the engine's contract (core/rules.py table)
+_OVERLAP_SQL_BITS = [
+    (1, "not_null_text", "text IS NULL"),
+    (2, "range_n_chars",
+     "n_chars IS NULL OR n_chars < 100 OR n_chars > 400"),
+    (4, "enum_lang",
+     "lang IS NOT NULL AND lang NOT IN ('en','de','fr')"),
+    (8, "length_text",
+     "text IS NULL OR length(text) < 50 OR length(text) > 1000"),
+]
+
+
+def _overlap_oracle(marginals: bool) -> str:
+    mask = " + ".join(f"(CASE WHEN {p} THEN {b} ELSE 0 END)"
+                      for b, _, p in _OVERLAP_SQL_BITS)
+    base = f"WITH m AS (SELECT {mask} AS fail_mask FROM documents)"
+    if not marginals:
+        labels = ", ".join(
+            f"CASE WHEN fail_mask & {b} <> 0 THEN '{n}' END"
+            for b, n, _ in _OVERLAP_SQL_BITS)
+        return base + f"""
+SELECT CAST(fail_mask AS BIGINT) AS fail_mask,
+       COALESCE(concat_ws(',', {labels}), '') AS failed_rules,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM m GROUP BY fail_mask"""
+    vals = ", ".join(f"({b}, '{n}')" for b, n, _ in _OVERLAP_SQL_BITS)
+    return base + f"""
+SELECT r.rule_name,
+       CAST(sum(CASE WHEN m.fail_mask & r.bit <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_count,
+       CAST(sum(CASE WHEN m.fail_mask = r.bit THEN 1 ELSE 0 END)
+            AS BIGINT) AS unique_fail_count
+FROM m CROSS JOIN (VALUES {vals}) AS r(bit, rule_name)
+GROUP BY r.rule_name"""
+
+
 _SEQ_LEN = 2048
 
 
@@ -1745,6 +1972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "blocklist_filter": _q_blocklist_filter,
+        "drift_report": _q_drift_report,
+        "categorical_drift": _q_categorical_drift,
+        "rule_overlap": _q_rule_overlap,
+        "rule_marginals": _q_rule_marginals,
         "pack_sequences": _q_pack_sequences,
         "packing_stats": _q_packing_stats,
         "mixture_sample": _q_mixture_sample,
@@ -2461,5 +2693,10 @@ FROM documents, bll b""",
     out["mixture_sample"] = _mixture_oracle()
     out["pack_sequences"] = _pack_oracle(stats=False)
     out["packing_stats"] = _pack_oracle(stats=True)
+    out["rule_overlap"] = _overlap_oracle(marginals=False)
+    out["rule_marginals"] = _overlap_oracle(marginals=True)
+    out["drift_report"] = _drift_oracle()
+    out["categorical_drift"] = _categorical_drift_oracle()
+    out["blocklist_filter"] = _blocklist_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

@@ -63,3 +63,70 @@ class TestDomainQualityFilter:
                    domain_quality_filter(df.repartition(7), "score",
                                          q=0.3).collect())
         assert a == b
+
+
+class TestBlocklistFilter:
+    def _hosts(self, spark):
+        rows = [
+            (0, "a.example.com"),      # blocked by example.com
+            (1, "example.com"),        # exact match
+            (2, "notexample.com"),     # label boundary: NOT blocked
+            (3, "x.y.bad.org"),        # deep subdomain of bad.org
+            (4, "good.org"),           # clean
+            (5, "s1.d2.net"),          # exact 3-label entry
+            (6, "s2.d2.net"),          # sibling: NOT blocked
+            (7, "evil"),               # 1-label entry, exact
+            (8, "sub.evil"),           # under 1-label entry
+        ]
+        return spark.createDataFrame(rows, "doc_id long, host string")
+
+    BL = ["example.com", "bad.org", "s1.d2.net", "evil"]
+
+    def test_drop_semantics(self, spark):
+        from validatelite_spark.operators.domains import (
+            domain_blocklist_filter,
+        )
+        kept = domain_blocklist_filter(self._hosts(spark), self.BL,
+                                       "host", "doc_id", mode="drop")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4, 6]
+
+    def test_report_mode_is_complement(self, spark):
+        from validatelite_spark.operators.domains import (
+            domain_blocklist_filter,
+        )
+        df = self._hosts(spark)
+        blocked = domain_blocklist_filter(df, self.BL, "host",
+                                          "doc_id", mode="report")
+        assert sorted(r["doc_id"] for r in blocked.collect()) == \
+            [0, 1, 3, 5, 7, 8]
+
+    def test_blocklist_as_dataframe(self, spark):
+        from validatelite_spark.operators.domains import (
+            domain_blocklist_filter,
+        )
+        bl = spark.createDataFrame([(d,) for d in self.BL], "d string")
+        kept = domain_blocklist_filter(self._hosts(spark), bl,
+                                       "host", "doc_id")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4, 6]
+
+    def test_deep_entry_only_exact_beyond_cap(self, spark):
+        from validatelite_spark.operators.domains import (
+            domain_blocklist_filter,
+        )
+        # entry deeper than max_labels: exact host still blocked,
+        # sub-host of it escapes (documented cap)
+        deep = "a.b.c.d.e.f.g"
+        df = spark.createDataFrame(
+            [(0, deep), (1, "x." + deep)], "doc_id long, host string")
+        kept = domain_blocklist_filter(df, [deep], "host", "doc_id",
+                                       max_labels=3)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+
+    def test_bad_mode(self, spark):
+        from validatelite_spark.operators.domains import (
+            domain_blocklist_filter,
+        )
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            domain_blocklist_filter(self._hosts(spark), self.BL,
+                                    "host", "doc_id", mode="nope")

@@ -19,10 +19,6 @@ from validatelite_spark.operators.lines import (
     strip_blocklisted_lines,
     top_lines,
 )
-from validatelite_spark.operators.domains import (
-    domain_quality_filter,
-    domain_stats,
-)
 from validatelite_spark.operators.joins import asof_join, range_join
 from validatelite_spark.operators.multimodal import (
     decode_media,
@@ -36,6 +32,19 @@ from validatelite_spark.operators.rollup import time_rollup
 from validatelite_spark.operators.semdedup import (
     semdedup_flags,
     semdedup_keep,
+)
+from validatelite_spark.operators.domains import (
+    domain_blocklist_filter,
+    domain_quality_filter,
+    domain_stats,
+)
+from validatelite_spark.operators.drift import (
+    categorical_drift,
+    drift_report,
+)
+from validatelite_spark.operators.overlap import (
+    rule_marginals,
+    rule_overlap,
 )
 from validatelite_spark.operators.packing import (
     pack_sequences,
@@ -62,8 +71,11 @@ __all__ = [
     "chunk_dedup",
     "decode_media",
     "dedup_groups",
+    "categorical_drift",
+    "domain_blocklist_filter",
     "domain_quality_filter",
     "domain_stats",
+    "drift_report",
     "dsir_resample",
     "dsir_weights",
     "embedding_cosine_pairs",
@@ -84,6 +96,8 @@ __all__ = [
     "packing_stats",
     "prefix_sums",
     "range_join",
+    "rule_marginals",
+    "rule_overlap",
     "semdedup_flags",
     "semdedup_keep",
     "simhash_pairs",

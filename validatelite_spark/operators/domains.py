@@ -36,6 +36,56 @@ def domain_stats(
     return df.groupBy(F.col(by).alias("domain")).agg(*aggs)
 
 
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist,
+    host_col: str,
+    key_col: str,
+    mode: str = "drop",
+    max_labels: int = 6,
+) -> DataFrame:
+    """Subdomain-aware blocklist filter (the UT1/adult-list semantics
+    RefinedWeb/FineWeb apply): a row is blocked iff its host equals a
+    blocklist domain OR sits under one (``a.b.example.com`` is blocked
+    by ``example.com``). ``mode='drop'`` keeps the clean rows,
+    ``'report'`` returns the blocked ones.
+
+    ``blocklist``: a 1-column DataFrame of lowercase domains, or a
+    Python list (wrapped into one). Matching is by label suffix, not
+    string suffix — ``notexample.com`` is NOT blocked by
+    ``example.com``.
+
+    Scale shape: each row expands to its ≤ ``max_labels`` label
+    suffixes with ``substring_index`` (pure native Column — no
+    higher-order functions in the corpus projection) plus the full
+    host; one explode (bounded fan-out ≤ max_labels+1), an equi-join
+    against the blocklist on the suffix (AQE broadcasts a small list;
+    a multi-million-entry UT1 list shuffles — both fine, the join key
+    is a short string), then the blocked KEY SET joins back
+    semi/anti on ``key_col``. Blocklist entries with more than
+    ``max_labels`` labels only match a host exactly (documented cap —
+    raise ``max_labels`` for deeper lists)."""
+    if mode not in ("drop", "report"):
+        raise ValueError("mode must be 'drop' or 'report'")
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        blocklist = spark.createDataFrame(
+            [(str(d),) for d in blocklist], "domain string")
+    else:
+        blocklist = blocklist.toDF("domain")
+    host = F.col(host_col)
+    cands = [host] + [F.substring_index(host, ".", -k)
+                      for k in range(1, max_labels + 1)]
+    blocked_keys = (df.select(F.col(key_col),
+                              F.explode(F.array(*cands)).alias("__sfx"))
+                    .join(blocklist,
+                          F.col("__sfx") == F.col("domain"),
+                          "left_semi")
+                    .select(key_col).distinct())
+    how = "left_anti" if mode == "drop" else "left_semi"
+    return df.join(blocked_keys, on=key_col, how=how)
+
+
 def domain_quality_filter(
     df: DataFrame,
     score_col: str,
