@@ -1238,6 +1238,56 @@ def _q_hash_sample(spark, sf_dir):
             .select("doc_id", "lang", "n_chars"))
 
 
+def _q_warc_scan(spark, sf_dir):
+    # WARC ingestion (sources/warc.py): a deterministic 4-file WARC
+    # fixture is synthesized from the documents table (url/date pure
+    # functions of doc_id, body = text bytes), then parsed back via
+    # binaryFile + mapInPandas — the oracle recomputes url/ts/md5
+    # straight from documents, so the parser round-trip is fully
+    # value-hash-checked
+    import datetime
+    import os
+    import tempfile
+
+    from validatelite_spark.sources.warc import (
+        build_response_record,
+        read_warc,
+        write_warc,
+    )
+    rows = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text").collect())
+    tmp = tempfile.mkdtemp(prefix="warc_fixture_")
+    files = {k: [] for k in range(4)}
+    epoch = datetime.datetime(2024, 1, 1)
+    for r in rows:
+        i = r["doc_id"]
+        date = (epoch + datetime.timedelta(seconds=i)
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        url = f"https://h{i % 20}.example/p/{i}"
+        files[i % 4].append(build_response_record(
+            url, date, r["text"].encode("utf-8")))
+    for k, recs in files.items():
+        write_warc(os.path.join(tmp, f"part-{k}.warc.gz"), recs,
+                   compress=(k % 2 == 0))
+    out = read_warc(spark, tmp + "/*.warc*")
+    return (out.select("url", "warc_ts", "status",
+                       F.md5("payload").alias("payload_md5"))
+            .orderBy("url"))
+
+
+def _warc_oracle() -> str:
+    return """
+SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ')
+         AS warc_ts,
+       CAST(200 AS INT) AS status,
+       md5(text) AS payload_md5
+FROM documents WHERE text IS NOT NULL"""
+
+
 #: synthetic multi-label hosts + a blocklist with 1-, 2- and 3-label
 #: entries, exercising TLD-, domain- and exact-host-level blocks
 _BLOCKLIST = ["d3.com", "s1.d2.com", "d5.org"]
@@ -1972,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "warc_scan": _q_warc_scan,
         "blocklist_filter": _q_blocklist_filter,
         "drift_report": _q_drift_report,
         "categorical_drift": _q_categorical_drift,
@@ -2698,5 +2749,6 @@ FROM documents, bll b""",
     out["drift_report"] = _drift_oracle()
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
+    out["warc_scan"] = _warc_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out
