@@ -1238,6 +1238,53 @@ def _q_hash_sample(spark, sf_dir):
             .select("doc_id", "lang", "n_chars"))
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    # first BPE iteration (functions/bpe.py): adjacent char-pair
+    # counts over the distinct-word table, top 30 by (cnt desc, pair
+    # asc) — the argmax feed of the training loop, fully oracled
+    from validatelite_spark.functions.bpe import (
+        pair_counts,
+        word_frequencies,
+    )
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    wf = word_frequencies(docs, "text")
+    return (pair_counts(wf)
+            .orderBy(F.desc("cnt"), F.asc("pair")).limit(30))
+
+
+def _bpe_pairs_oracle() -> str:
+    return r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL),
+words AS (SELECT w, count(*) AS f FROM toks WHERE w <> ''
+          GROUP BY w),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+           i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1)))
+           AS pair, f
+  FROM words WHERE length(w) >= 2
+  UNION ALL
+  SELECT substr(w, length(w), 1) || ' </w>' AS pair, f FROM words)
+SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 30"""
+
+
+def _q_bpe_merges(spark, sf_dir):
+    # full BPE training loop (iterative — no single-SQL replay;
+    # pinned against an independent python reference in
+    # tests/test_bpe.py): 12 merges learned from the corpus
+    from validatelite_spark.functions.bpe import train_bpe
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    merges = train_bpe(docs, "text", 12)
+    return spark.createDataFrame(
+        [(i, m[0], m[1], m[2]) for i, m in enumerate(merges)],
+        "rank int, left string, right string, cnt long")
+
+
 def _q_warc_scan(spark, sf_dir):
     # WARC ingestion (sources/warc.py): a deterministic 4-file WARC
     # fixture is synthesized from the documents table (url/date pure
@@ -2022,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
         "warc_scan": _q_warc_scan,
         "blocklist_filter": _q_blocklist_filter,
         "drift_report": _q_drift_report,
@@ -2750,5 +2799,6 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["bpe_pair_counts"] = _bpe_pairs_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out
