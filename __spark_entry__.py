@@ -1285,6 +1285,41 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    # CCNet head/middle/tail assignment (operators/sampling.py
+    # score_buckets): per-language tertile cuts on a native score
+    # (n_chars here — the SQL-replayable anchor; the faithful
+    # perplexity chain is pinned in tests/test_sampling.py), reported
+    # as a (lang, bucket) census
+    from validatelite_spark.operators.sampling import score_buckets
+    docs = _read(spark, sf_dir, "documents")
+    b = score_buckets(docs, "n_chars", "lang")
+    return (b.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars") + 1e-9, 4).alias("avg_chars"))
+            .orderBy("lang", "bucket"))
+
+
+def _ccnet_buckets_oracle() -> str:
+    return """
+WITH th AS (
+  SELECT lang,
+         round(quantile_cont(n_chars, 1.0/3) + 1e-9, 4) AS t1,
+         round(quantile_cont(n_chars, 2.0/3) + 1e-9, 4) AS t2
+  FROM documents GROUP BY lang),
+b AS (
+  SELECT d.lang,
+         CASE WHEN d.n_chars IS NULL THEN NULL
+              WHEN d.n_chars <= th.t1 THEN 'head'
+              WHEN d.n_chars <= th.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         d.n_chars
+  FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang)
+SELECT lang, bucket, count(*) AS n_docs,
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""
+
+
 def _q_warc_scan(spark, sf_dir):
     # WARC ingestion (sources/warc.py): a deterministic 4-file WARC
     # fixture is synthesized from the documents table (url/date pure
@@ -2069,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "warc_scan": _q_warc_scan,
@@ -2799,6 +2835,7 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["ccnet_buckets"] = _ccnet_buckets_oracle()
     out["bpe_pair_counts"] = _bpe_pairs_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()
     return out

@@ -382,3 +382,85 @@ class TestMixtureBudget:
         import pytest as _pt
         with _pt.raises(ValueError):
             mixture_weights_to_budgets(100, {"en": 0.0})
+
+
+class TestScoreBuckets:
+    def _df(self, spark):
+        rows = [("a", i, float(i)) for i in range(1, 31)]          # 1..30
+        rows += [("b", 100 + i, float(10 * i)) for i in range(1, 10)]
+        return spark.createDataFrame(rows, "g string, k long, v double")
+
+    def test_tertiles_match_numpy_reference(self, spark):
+        import numpy as np
+        from validatelite_spark.operators.sampling import score_buckets
+        df = self._df(spark)
+        out = score_buckets(df, "v", "g").collect()
+        vals = {"a": [float(i) for i in range(1, 31)],
+                "b": [float(10 * i) for i in range(1, 10)]}
+        for r in out:
+            t1, t2 = (round(float(np.percentile(
+                vals[r["g"]], 100 * c, method="linear")) + 1e-9, 4)
+                for c in (1 / 3, 2 / 3))
+            want = ("head" if r["v"] <= t1
+                    else "middle" if r["v"] <= t2 else "tail")
+            assert r["bucket"] == want, (r, t1, t2)
+        # roughly equal thirds per group
+        from collections import Counter
+        ca = Counter(r["bucket"] for r in out if r["g"] == "a")
+        assert ca == {"head": 10, "middle": 10, "tail": 10}
+
+    def test_null_score_gets_null_bucket_not_tail(self, spark):
+        from validatelite_spark.operators.sampling import score_buckets
+        df = self._df(spark).unionByName(
+            self._df(spark).sparkSession.createDataFrame(
+                [("a", 999, None)], "g string, k long, v double"))
+        out = {r["k"]: r["bucket"] for r in score_buckets(
+            df, "v", "g").collect()}
+        assert out[999] is None
+
+    def test_null_group_has_own_cuts(self, spark):
+        from validatelite_spark.operators.sampling import score_buckets
+        rows = [("a", i, float(i)) for i in range(1, 10)]
+        rows += [(None, 100 + i, float(i)) for i in range(1, 10)]
+        df = spark.createDataFrame(rows, "g string, k long, v double")
+        out = score_buckets(df, "v", "g").collect()
+        nulls = [r for r in out if r["g"] is None]
+        assert len(nulls) == 9
+        assert {r["bucket"] for r in nulls} == {"head", "middle", "tail"}
+
+    def test_plan_broadcasts_thresholds(self, spark):
+        from validatelite_spark.operators.sampling import score_buckets
+        plan = (score_buckets(self._df(spark), "v", "g")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+
+    def test_custom_cuts_and_approx_path(self, spark):
+        from validatelite_spark.operators.sampling import score_buckets
+        df = self._df(spark)
+        out = score_buckets(df, "v", "g", cuts=(0.5,),
+                            labels=("keep", "drop"), approx=True).collect()
+        assert {r["bucket"] for r in out} == {"keep", "drop"}
+
+    def test_perplexity_composition(self, spark):
+        # the faithful CCNet chain: char-bigram LM ppl -> per-lang
+        # tertiles; junk text must land in the high-ppl tail
+        from validatelite_spark.functions.perplexity import perplexity
+        from validatelite_spark.operators.sampling import score_buckets
+        texts = [("en", i, "the cat sat on the mat and the dog sat too "
+                  * (1 + i % 3)) for i in range(12)]
+        texts += [("en", 100, "zxq jkw vvv qqq zzz xxx jjj www qzx jwk"),
+                  ("en", 101, "qqq zzz xxx zxq jkw vvv www jjj kkk qpz")]
+        df = spark.createDataFrame(texts, "lang string, k long, text string")
+        scored = df.withColumn("ppl", perplexity(F.col("text")))
+        out = {r["k"]: r["bucket"]
+               for r in score_buckets(scored, "ppl", "lang").collect()}
+        assert out[100] == "tail" and out[101] == "tail"
+
+    def test_bad_args_raise(self, spark):
+        import pytest as _pt
+        from validatelite_spark.operators.sampling import score_buckets
+        df = self._df(spark)
+        with _pt.raises(ValueError):
+            score_buckets(df, "v", "g", cuts=(0.5,), labels=("x",))
+        with _pt.raises(ValueError):
+            score_buckets(df, "v", "g", cuts=(0.7, 0.3))

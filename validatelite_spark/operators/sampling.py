@@ -308,6 +308,59 @@ def quantile_filter(
     return joined.filter(pred).drop("__th", "__gk")
 
 
+def score_buckets(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    cuts: tuple = (1.0 / 3, 2.0 / 3),
+    labels: tuple = ("head", "middle", "tail"),
+    round_to: int = 4,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style per-group quantile bucketing (Wenzek et al. 2020):
+    annotate every row with the bucket its ``value_col`` falls into
+    under its OWN group's quantile cuts — the canonical web-text
+    perplexity split ("head" = lowest LM perplexity third per language,
+    "tail" = highest; CCNet trains on head+middle). Generic over any
+    score: compose with ``functions/perplexity.py`` for the faithful
+    CCNet pipeline, or any native signal for a fully-oracled path.
+
+    ``cuts`` are strictly-increasing quantiles in (0, 1);
+    ``labels`` has ``len(cuts) + 1`` entries, first label = lowest
+    values. A NULL score gets a NULL bucket (it is NOT silently
+    dumped into the last label — the naive CASE would do exactly
+    that, since NULL comparisons are false-y in a WHEN chain).
+
+    Physical shape is ``quantile_filter``'s: ONE aggregate computes
+    every group's cut vector (|groups| rows), the tiny threshold table
+    broadcast-joins back null-safely on the native group key, and the
+    bucket label is a pure Column CASE on the scan side — no window
+    over doc-keyed data, no per-group funnelling. ``approx`` swaps the
+    exact interpolated ``percentile`` (O(group) reducer memory — the
+    oracle anchor) for ``approx_percentile`` (Greenwald-Khanna,
+    memory-bounded — the 100 TB path; CLAUDE.md rule 9)."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need len(cuts) + 1 labels")
+    if list(cuts) != sorted(set(cuts)) or not all(0 < c < 1 for c in cuts):
+        raise ValueError("cuts must be strictly increasing in (0, 1)")
+    pcts = F.array(*[F.lit(float(c)) for c in cuts])
+    pct = (F.approx_percentile(value_col, pcts, F.lit(approx_accuracy))
+           if approx else F.percentile(value_col, pcts))
+    th = (df.groupBy(F.col(by).alias("__gk"))
+          .agg(*[F.round(F.element_at(pct, i + 1) + 1e-9, round_to)
+                 .alias(f"__th{i}") for i in range(len(cuts))]))
+    joined = df.join(F.broadcast(th), F.col(by).eqNullSafe(F.col("__gk")))
+    expr = F.when(F.col(value_col).isNull(), F.lit(None))
+    for i, lab in enumerate(labels[:-1]):
+        expr = expr.when(F.col(value_col) <= F.col(f"__th{i}"),
+                         F.lit(lab))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return (joined.withColumn(bucket_col, expr)
+            .drop("__gk", *[f"__th{i}" for i in range(len(cuts))]))
+
+
 def temperature_sample(
     df: DataFrame,
     total_budget: int,
