@@ -1285,6 +1285,40 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_domain_top_terms(spark, sf_dir):
+    # TF-IDF keyword extraction (operators/keywords.py): each source
+    # domain's top-3 terms by smoothed tf-idf over domain-aggregated
+    # counts — the "what is this source about" curation report
+    from validatelite_spark.operators.keywords import domain_top_terms
+    docs = _read(spark, sf_dir, "documents")
+    return (domain_top_terms(docs, top_k=3, stopwords=["the", "and"])
+            .orderBy("domain", F.desc("tfidf"), "term"))
+
+
+def _domain_top_terms_oracle() -> str:
+    return r"""
+WITH toks AS (
+  SELECT source AS domain,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents WHERE text IS NOT NULL),
+tf AS (
+  SELECT domain, term, count(*) AS tf FROM toks
+  WHERE term <> '' AND term NOT IN ('the', 'and')
+  GROUP BY domain, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT domain) AS n FROM tf),
+scored AS (
+  SELECT t.domain, t.term, t.tf,
+         round(t.tf * (ln((1.0 + nd.n) / (1.0 + d.df)) + 1) + 1e-9, 6)
+           AS tfidf
+  FROM tf t JOIN dfreq d USING (term), nd),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY domain ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+SELECT domain, term, tf, tfidf FROM r WHERE rk <= 3
+ORDER BY domain, tfidf DESC, term"""
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     # CCNet head/middle/tail assignment (operators/sampling.py
     # score_buckets): per-language tertile cuts on a native score
@@ -2104,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "domain_top_terms": _q_domain_top_terms,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
@@ -2835,6 +2870,7 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["domain_top_terms"] = _domain_top_terms_oracle()
     out["ccnet_buckets"] = _ccnet_buckets_oracle()
     out["bpe_pair_counts"] = _bpe_pairs_oracle()
     out["pipeline_keep_sql"] = _pipeline_keep_sql_oracle()

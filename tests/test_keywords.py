@@ -1,0 +1,89 @@
+"""TF-IDF domain keyword extraction (operators/keywords.py) vs an
+independent pure-Python reference (sklearn smooth_idf formula)."""
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+
+def ref_top_terms(rows, k, min_df=1, stopwords=()):
+    tf = defaultdict(Counter)
+    for dom, text in rows:
+        if text is None:
+            continue
+        for w in text.lower().split():
+            if w and w not in stopwords:
+                tf[dom][w] += 1
+    dfreq = Counter()
+    for dom in tf:
+        for w in tf[dom]:
+            dfreq[w] += 1
+    n = len(tf)
+    out = {}
+    for dom in tf:
+        scored = []
+        for w, c in tf[dom].items():
+            if dfreq[w] < min_df:
+                continue
+            s = round(c * (math.log((1 + n) / (1 + dfreq[w])) + 1)
+                      + 1e-9, 6)
+            scored.append((w, c, s))
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        out[dom] = scored[:k]
+    return out
+
+
+ROWS = [
+    ("a.com", "spark spark parquet shuffle join join join"),
+    ("a.com", "parquet shuffle the the the"),
+    ("b.com", "cats cats dogs the the"),
+    ("b.com", "dogs dogs birds the"),
+    ("c.com", "the quick brown fox the lazy dog"),
+    ("c.com", None),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(ROWS, "source string, text string")
+
+
+class TestDomainTopTerms:
+    def test_matches_reference(self, spark, corpus):
+        from validatelite_spark.operators.keywords import domain_top_terms
+        got = defaultdict(list)
+        out = domain_top_terms(corpus, top_k=3).collect()
+        for r in sorted(out, key=lambda r: (r["domain"], -r["tfidf"],
+                                            r["term"])):
+            got[r["domain"]].append((r["term"], r["tf"],
+                                     round(r["tfidf"], 6)))
+        assert dict(got) == ref_top_terms(ROWS, 3)
+
+    def test_stopwords_and_min_df(self, spark, corpus):
+        from validatelite_spark.operators.keywords import domain_top_terms
+        out = domain_top_terms(corpus, top_k=10, stopwords=["the"],
+                              min_df=2).collect()
+        terms = {r["term"] for r in out}
+        assert "the" not in terms
+        # min_df=2: only terms in >= 2 domains survive
+        ref = ref_top_terms(ROWS, 10, min_df=2, stopwords=("the",))
+        assert terms == {w for v in ref.values() for (w, _, _) in v}
+
+    def test_no_corpus_countdistinct_and_no_driver_collect(self, spark,
+                                                           corpus):
+        # domain frequency must come from the aggregated (domain, term)
+        # table, and the N-domains scalar must stay in-plan: exactly
+        # one scan of the input in the physical plan
+        from validatelite_spark.operators.keywords import domain_top_terms
+        plan = (domain_top_terms(corpus)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("ExistingRDD") + plan.count("LocalTableScan") <= 3
+
+    def test_rank_ties_deterministic(self, spark):
+        from validatelite_spark.operators.keywords import domain_top_terms
+        df = spark.createDataFrame(
+            [("d", "aa bb aa bb cc")], "source string, text string")
+        out = [r["term"] for r in domain_top_terms(df, top_k=2).collect()]
+        # aa and bb tie on tf and df -> identical tfidf -> term asc
+        assert out == ["aa", "bb"]
