@@ -1285,6 +1285,96 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_profile_table(spark, sf_dir):
+    # one-scan table profile (operators/profile.py): every column's
+    # counts/nulls/distinct/extrema/mean fused into ONE aggregate pass
+    # (exact countDistinct Expand shape = the oracle anchor;
+    # approx=True is the no-replication 100 TB path)
+    from validatelite_spark.operators.profile import profile_table
+    docs = _read(spark, sf_dir, "documents")
+    return (profile_table(
+        docs, columns=["doc_id", "lang", "source", "n_chars", "text"])
+        .orderBy("column"))
+
+
+def _profile_oracle() -> str:
+    def num(c):
+        return f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_num,
+       CAST(max({c}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       round(avg({c}) + 1e-9, 6) AS avg FROM documents"""
+
+    def txt(c):
+        return f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       min({c}) AS min_str, max({c}) AS max_str,
+       CAST(NULL AS DOUBLE) AS avg FROM documents"""
+
+    parts = [num("doc_id"), txt("lang"), txt("source"),
+             num("n_chars"), txt("text")]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def _q_domain_pagerank(spark, sf_dir):
+    # link-graph domain authority (operators/linkgraph.py): PageRank
+    # power iteration over the deterministic synthetic host graph
+    # (testdata docs carry no hyperlinks — the edge derivation is a
+    # pure function of the domain set, replayed exactly in SQL)
+    from validatelite_spark.operators.linkgraph import (
+        pagerank,
+        synth_host_edges,
+    )
+    docs = _read(spark, sf_dir, "documents")
+    edges = synth_host_edges(docs)
+    return (pagerank(edges, damping=0.85, iters=8)
+            .orderBy(F.desc("rank"), "node"))
+
+
+def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
+    # the same power iteration, unrolled as a CTE chain (fixed-iters
+    # contract — no early exit on either side). 1e0-style literals
+    # keep every intermediate a DOUBLE (DuckDB 1.0 is DECIMAL).
+    steps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(f"""
+c{k} AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank / deg.deg) AS m
+  FROM edges e JOIN r{p} r ON r.node = e.src
+  JOIN deg ON deg.node = e.src GROUP BY e.dst),
+g{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0e0) AS dm
+  FROM r{p} r LEFT JOIN deg ON deg.node = r.node
+  WHERE deg.node IS NULL),
+r{k} AS MATERIALIZED (SELECT n.node,
+  (1e0 - {damping}e0) / nv.n + {damping}e0 *
+    (coalesce(c.m, 0e0) + g.dm / nv.n) AS rank
+  FROM nodes n LEFT JOIN c{k} c ON c.node = n.node, g{k} g, nv)""")
+    return f"""
+WITH doms AS MATERIALIZED (
+  SELECT d, row_number() OVER (ORDER BY d) - 1 AS i
+  FROM (SELECT DISTINCT source AS d FROM documents
+        WHERE source IS NOT NULL)),
+nn AS (SELECT count(*) AS n FROM doms),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.d AS src, b.d AS dst
+  FROM doms a CROSS JOIN nn CROSS JOIN (VALUES (1), (2), (3)) t(j)
+  JOIN doms b ON b.i = (a.i * 7 + t.j) % nn.n
+  WHERE a.d <> b.d),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1e0 / nv.n AS rank FROM nodes, nv),
+{",".join(steps)}
+SELECT node, round(rank + 1e-9, 6) AS rank FROM r{iters}
+ORDER BY rank DESC, node"""
+
+
 def _q_domain_top_terms(spark, sf_dir):
     # TF-IDF keyword extraction (operators/keywords.py): each source
     # domain's top-3 terms by smoothed tf-idf over domain-aggregated
@@ -2138,6 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "profile_table": _q_profile_table,
+        "domain_pagerank": _q_domain_pagerank,
         "domain_top_terms": _q_domain_top_terms,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -2870,6 +2962,8 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["profile_table"] = _profile_oracle()
+    out["domain_pagerank"] = _pagerank_oracle()
     out["domain_top_terms"] = _domain_top_terms_oracle()
     out["ccnet_buckets"] = _ccnet_buckets_oracle()
     out["bpe_pair_counts"] = _bpe_pairs_oracle()
