@@ -1285,6 +1285,56 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_fineweb_signals(spark, sf_dir):
+    # FineWeb/C4 line-level quality census (functions/linesignals.py):
+    # per-language averages of the four line fractions + the composite
+    # LINE_QUALITY failure count, all pure (?m)-regexp_count Columns
+    from validatelite_spark.functions import linesignals as ls
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    t = F.col("text")
+    sig = docs.select(
+        "lang",
+        ls.punct_line_fraction(t).alias("pf"),
+        ls.short_line_fraction(t).alias("sf"),
+        ls.bullet_line_fraction(t).alias("bf"),
+        ls.caps_line_fraction(t).alias("cf"),
+        ls.line_quality_fail(t).cast("long").alias("fail"))
+    return (sig.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("pf") + 1e-9, 6).alias("avg_punct_frac"),
+        F.round(F.avg("sf") + 1e-9, 6).alias("avg_short_frac"),
+        F.round(F.avg("bf") + 1e-9, 6).alias("avg_bullet_frac"),
+        F.round(F.avg("cf") + 1e-9, 6).alias("avg_caps_frac"),
+        F.sum("fail").alias("n_fail")).orderBy("lang"))
+
+
+def _fineweb_oracle() -> str:
+    return r"""
+WITH s AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '\n')) + 1 AS n,
+    len(regexp_extract_all(text, '(?m)[.!?"''][ \t]*$')) AS punct,
+    len(regexp_extract_all(text, '(?m)^.{30,}')) AS lng,
+    len(regexp_extract_all(text, '(?m)^[ \t]*[-*' || chr(8226) || ']'))
+      AS bullet,
+    len(regexp_extract_all(text, '(?m)^[A-Z][^a-z\n]*$')) AS caps
+  FROM documents WHERE text IS NOT NULL),
+f AS (
+  SELECT lang,
+    punct * 1e0 / n AS pf, (n - lng) * 1e0 / n AS sf,
+    bullet * 1e0 / n AS bf, caps * 1e0 / n AS cf
+  FROM s)
+SELECT lang, count(*) AS n_docs,
+  round(avg(pf) + 1e-9, 6) AS avg_punct_frac,
+  round(avg(sf) + 1e-9, 6) AS avg_short_frac,
+  round(avg(bf) + 1e-9, 6) AS avg_bullet_frac,
+  round(avg(cf) + 1e-9, 6) AS avg_caps_frac,
+  CAST(sum(CASE WHEN pf < 0.12 OR sf > 0.67 OR bf > 0.9
+                  OR cf > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+FROM f GROUP BY lang ORDER BY lang"""
+
+
 def _q_profile_table(spark, sf_dir):
     # one-scan table profile (operators/profile.py): every column's
     # counts/nulls/distinct/extrema/mean fused into ONE aggregate pass
@@ -2228,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "fineweb_signals": _q_fineweb_signals,
         "profile_table": _q_profile_table,
         "domain_pagerank": _q_domain_pagerank,
         "domain_top_terms": _q_domain_top_terms,
@@ -2962,6 +3013,7 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["fineweb_signals"] = _fineweb_oracle()
     out["profile_table"] = _profile_oracle()
     out["domain_pagerank"] = _pagerank_oracle()
     out["domain_top_terms"] = _domain_top_terms_oracle()

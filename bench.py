@@ -100,6 +100,20 @@ BENCH_QUERIES = [
     "chunk_dedup",
     "domain_filter",
     "normalize_text",
+    # round 5
+    "semantic_dedup",
+    "dsir_weights",
+    "mixture_sample",
+    "pack_sequences",
+    "drift_report",
+    "blocklist_filter",
+    "rule_overlap",
+    "curation_decontaminated",
+    "bpe_pair_counts",
+    "ccnet_buckets",
+    "domain_top_terms",
+    "domain_pagerank",
+    "profile_table",
 ]
 
 

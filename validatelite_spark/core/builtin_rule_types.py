@@ -60,6 +60,12 @@ def _compile_boilerplate(rule):
     return boilerplate_fail(F.col(rule.column), rule.parameters)
 
 
+def _compile_line_quality(rule):
+    # FineWeb/C4 line-level fractions (functions/linesignals.py)
+    from validatelite_spark.functions.linesignals import line_quality_fail
+    return line_quality_fail(F.col(rule.column), rule.parameters)
+
+
 def _compile_classifier(rule):
     # hashed-linear (fastText-style) quality score threshold; weights
     # are rule parameters (functions/classifier.py)
@@ -101,6 +107,11 @@ def register_builtins(replace: bool = True) -> None:
         param_schema={"required": ["weights"]},
         description=("hashed-linear quality score must reach "
                      "min_score (fastText-style, weights as params)"),
+        replace=replace)
+    register_rule_type(
+        "LINE_QUALITY", _compile_line_quality, tier="NATIVE",
+        description=("FineWeb/C4 line-level gates: punctuation-ending, "
+                     "short, bullet, and all-caps line fractions"),
         replace=replace)
     register_rule_type(
         "BOILERPLATE", _compile_boilerplate, tier="NATIVE",
