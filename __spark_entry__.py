@@ -1285,6 +1285,42 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_snapshot_delta(spark, sf_dir):
+    # two-snapshot re-crawl census (operators/snapshots.py): old/new
+    # snapshots derived deterministically from the documents table
+    # (old = id%4!=0, new = id%4!=1 with id%8==2 content bumped),
+    # classified new/gone/changed/unchanged by null-safe fingerprint
+    from validatelite_spark.operators.snapshots import \
+        snapshot_delta_report
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    old = docs.filter(i % 4 != 0).select("doc_id", "text")
+    new = (docs.filter(i % 4 != 1)
+           .select("doc_id",
+                   F.when(i % 8 == 2,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text")))
+    return (snapshot_delta_report(old, new, key_col="doc_id")
+            .orderBy("status"))
+
+
+def _snapshot_delta_oracle() -> str:
+    fp_old = _d_fingerprint("text")
+    fp_new = _d_fingerprint(
+        "CASE WHEN doc_id % 8 = 2 THEN text || ' v2' ELSE text END")
+    return f"""
+WITH old AS (SELECT doc_id, {fp_old} AS fp FROM documents
+             WHERE doc_id % 4 <> 0),
+new AS (SELECT doc_id, {fp_new} AS fp FROM documents
+        WHERE doc_id % 4 <> 1),
+j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'new'
+                  WHEN n.doc_id IS NULL THEN 'gone'
+                  WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old o FULL JOIN new n ON o.doc_id = n.doc_id)
+SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status"""
+
+
 def _q_fineweb_signals(spark, sf_dir):
     # FineWeb/C4 line-level quality census (functions/linesignals.py):
     # per-language averages of the four line fractions + the composite
@@ -2278,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "snapshot_delta": _q_snapshot_delta,
         "fineweb_signals": _q_fineweb_signals,
         "profile_table": _q_profile_table,
         "domain_pagerank": _q_domain_pagerank,
@@ -3013,6 +3050,7 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["snapshot_delta"] = _snapshot_delta_oracle()
     out["fineweb_signals"] = _fineweb_oracle()
     out["profile_table"] = _profile_oracle()
     out["domain_pagerank"] = _pagerank_oracle()
