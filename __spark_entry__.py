@@ -155,6 +155,34 @@ JOIN sized sb ON sb.k = c.id2
 WHERE round(c.common * 1.0 / (sa.sz + sb.sz - c.common) + 1e-9, 6) >= 0.5
 """.replace("{toks}", _d_tokens("text"))
 
+_SIMHASH_MD5_ORACLE = """
+WITH ex AS (
+  SELECT doc_id AS k, unnest(list_distinct({toks})) AS t
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT k, cast(CASE WHEN v >= 9223372036854775808::hugeint
+                 THEN v - 18446744073709551616::hugeint ELSE v END
+            AS bigint) AS h64
+  FROM (SELECT k, ('0x'||substr(md5(t),1,8))::bigint::hugeint * 4294967296
+                  + ('0x'||substr(md5(t),9,8))::bigint AS v FROM ex)
+), bits AS (
+  SELECT k, i, sum(CASE WHEN (h64 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, (SELECT unnest(range(64)) AS i)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT k, cast(CASE WHEN u >= 9223372036854775808::hugeint
+                 THEN u - 18446744073709551616::hugeint ELSE u END
+            AS bigint) AS sh
+  FROM (SELECT k, sum(CASE WHEN vote > 0 THEN 1::hugeint << i ELSE 0 END)
+               AS u
+        FROM bits GROUP BY k)
+)
+SELECT a.k AS id1, b.k AS id2,
+       cast(bit_count(xor(a.sh, b.sh)) AS int) AS distance
+FROM sig a JOIN sig b ON a.k < b.k
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""".replace("{toks}", _d_tokens("text"))
+
 
 # ---------------------------------------------------------------- entry
 
@@ -1285,6 +1313,48 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_dedup_eval(spark, sf_dir):
+    # detector-tuning report (operators/evaluation.py): how well the
+    # cheap SimHash hamming<=3 pair set approximates the exhaustive
+    # jaccard>=0.5 truth set — both legs independently oracled, the
+    # metrics row is the composition
+    from validatelite_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from validatelite_spark.operators.evaluation import pair_metrics
+    docs = _read(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                threshold=0.5)
+    pred = simhash_pairs(docs, "text", "doc_id", max_distance=3,
+                         hash_fn="md5")
+    return pair_metrics(pred, truth)
+
+
+def _dedup_eval_oracle() -> str:
+    return f"""
+WITH pred AS (SELECT id1 AS a, id2 AS b FROM ({_SIMHASH_MD5_ORACLE}) p
+              WHERE id1 <> id2),
+truth AS (SELECT id1 AS a, id2 AS b FROM ({_JACCARD_ORACLE}) t
+          WHERE id1 <> id2),
+j AS (SELECT CASE WHEN p.a IS NOT NULL AND t.a IS NOT NULL THEN 'tp'
+                  WHEN p.a IS NOT NULL THEN 'fp' ELSE 'fn' END AS c
+      FROM pred p FULL JOIN truth t ON p.a = t.a AND p.b = t.b),
+m AS (SELECT CAST(count(*) FILTER (c = 'tp') AS BIGINT) AS tp,
+             CAST(count(*) FILTER (c = 'fp') AS BIGINT) AS fp,
+             CAST(count(*) FILTER (c = 'fn') AS BIGINT) AS fn
+      FROM j)
+SELECT tp, fp, fn,
+  CASE WHEN tp + fp > 0
+       THEN round(tp * 1e0 / (tp + fp) + 1e-9, 6) END AS precision,
+  CASE WHEN tp + fn > 0
+       THEN round(tp * 1e0 / (tp + fn) + 1e-9, 6) END AS recall,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+       THEN round(2e0 * tp / ((tp + fp) + (tp + fn)) + 1e-9, 6)
+       WHEN tp + fp > 0 AND tp + fn > 0 THEN 0e0 END AS f1
+FROM m"""
+
+
 def _q_snapshot_delta(spark, sf_dir):
     # two-snapshot re-crawl census (operators/snapshots.py): old/new
     # snapshots derived deterministically from the documents table
@@ -2314,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "dedup_eval": _q_dedup_eval,
         "snapshot_delta": _q_snapshot_delta,
         "fineweb_signals": _q_fineweb_signals,
         "profile_table": _q_profile_table,
@@ -2503,33 +2574,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT min(doc_id) FROM documents WHERE text IS NOT NULL
               GROUP BY {_d_fingerprint(t)})""",
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
-        "simhash_pairs_md5": """
-WITH ex AS (
-  SELECT doc_id AS k, unnest(list_distinct({toks})) AS t
-  FROM documents WHERE text IS NOT NULL
-), h AS (
-  SELECT k, cast(CASE WHEN v >= 9223372036854775808::hugeint
-                 THEN v - 18446744073709551616::hugeint ELSE v END
-            AS bigint) AS h64
-  FROM (SELECT k, ('0x'||substr(md5(t),1,8))::bigint::hugeint * 4294967296
-                  + ('0x'||substr(md5(t),9,8))::bigint AS v FROM ex)
-), bits AS (
-  SELECT k, i, sum(CASE WHEN (h64 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-  FROM h, (SELECT unnest(range(64)) AS i)
-  GROUP BY 1, 2
-), sig AS (
-  SELECT k, cast(CASE WHEN u >= 9223372036854775808::hugeint
-                 THEN u - 18446744073709551616::hugeint ELSE u END
-            AS bigint) AS sh
-  FROM (SELECT k, sum(CASE WHEN vote > 0 THEN 1::hugeint << i ELSE 0 END)
-               AS u
-        FROM bits GROUP BY k)
-)
-SELECT a.k AS id1, b.k AS id2,
-       cast(bit_count(xor(a.sh, b.sh)) AS int) AS distance
-FROM sig a JOIN sig b ON a.k < b.k
-WHERE bit_count(xor(a.sh, b.sh)) <= 3
-""".replace("{toks}", _d_tokens("text")),
+        "simhash_pairs_md5": _SIMHASH_MD5_ORACLE,
         "repetition_signals": """
 WITH t AS (
   SELECT doc_id, list_transform(range(1, len({toks}) - 1),
@@ -3050,6 +3095,7 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["dedup_eval"] = _dedup_eval_oracle()
     out["snapshot_delta"] = _snapshot_delta_oracle()
     out["fineweb_signals"] = _fineweb_oracle()
     out["profile_table"] = _profile_oracle()
