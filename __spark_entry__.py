@@ -1313,6 +1313,43 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_containment_pairs(spark, sf_dir):
+    # asymmetric near-dup (operators/dedup.py ngram_containment_pairs):
+    # |A∩B| / min(|A|,|B|) — catches a short quote embedded in a long
+    # page that jaccard's union-denominator washes out
+    from validatelite_spark.operators.dedup import ngram_containment_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "text", "doc_id", n=3,
+                                   threshold=0.8)
+
+
+_CONTAINMENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS k,
+         list_distinct(list_transform(
+             range(1, len({toks}) - 1),
+             i -> array_to_string({toks}[i:i+2], ' '))) AS sh
+  FROM documents
+  WHERE len({toks}) >= 3
+), sized AS (
+  SELECT k, sh, len(sh) AS sz FROM t
+), ex AS (
+  SELECT k, unnest(sh) AS s FROM sized
+), common AS (
+  SELECT a.k AS id1, b.k AS id2, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.k < b.k
+  GROUP BY 1, 2
+)
+SELECT c.id1, c.id2,
+       round(c.common * 1.0 / least(sa.sz, sb.sz) + 1e-9, 6)
+         AS containment
+FROM common c
+JOIN sized sa ON sa.k = c.id1
+JOIN sized sb ON sb.k = c.id2
+WHERE round(c.common * 1.0 / least(sa.sz, sb.sz) + 1e-9, 6) >= 0.8
+""".replace("{toks}", _d_tokens("text"))
+
+
 def _q_dedup_eval(spark, sf_dir):
     # detector-tuning report (operators/evaluation.py): how well the
     # cheap SimHash hamming<=3 pair set approximates the exhaustive
@@ -2384,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "containment_pairs": _q_containment_pairs,
         "dedup_eval": _q_dedup_eval,
         "snapshot_delta": _q_snapshot_delta,
         "fineweb_signals": _q_fineweb_signals,
@@ -3095,6 +3133,7 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["containment_pairs"] = _CONTAINMENT_ORACLE
     out["dedup_eval"] = _dedup_eval_oracle()
     out["snapshot_delta"] = _snapshot_delta_oracle()
     out["fineweb_signals"] = _fineweb_oracle()

@@ -513,3 +513,53 @@ class TestSignatureParity:
             .alias("arrow_sig"))
         bad = both.filter(F.col("col_sig") != F.col("arrow_sig")).count()
         assert bad == 0
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_found_where_jaccard_misses(self, spark):
+        from validatelite_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+        quote = "the quick brown fox jumps over the lazy dog"
+        long_doc = ("completely unrelated opening about spark shuffles "
+                    "and parquet scans with many extra tokens here "
+                    + quote +
+                    " and then a long trailing section about adaptive "
+                    "query execution broadcast joins and partition "
+                    "pruning that dominates the union of the shingles")
+        df = spark.createDataFrame(
+            [(1, quote), (2, long_doc),
+             (3, "something else entirely different")],
+            "doc_id long, text string")
+        cont = ngram_containment_pairs(df, threshold=0.8).collect()
+        assert [(r["id1"], r["id2"]) for r in cont] == [(1, 2)]
+        assert cont[0]["containment"] == 1.0
+        jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert jac == []  # jaccard blind to the embedded quote
+
+    def test_matches_python_reference(self, spark):
+        from validatelite_spark.operators.dedup import \
+            ngram_containment_pairs
+        texts = {1: "a b c d e f g", 2: "a b c d x y z",
+                 3: "a b c d e f g h i", 4: "p q r s t"}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string")
+
+        def sh(t, n=3):
+            toks = t.split()
+            return {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+
+        want = {}
+        ids = sorted(texts)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                c = len(sh(texts[a]) & sh(texts[b]))
+                m = min(len(sh(texts[a])), len(sh(texts[b])))
+                if m and round(c / m + 1e-9, 6) >= 0.4:
+                    want[(a, b)] = round(c / m + 1e-9, 6)
+        got = {(r["id1"], r["id2"]): r["containment"]
+               for r in ngram_containment_pairs(df, threshold=0.4)
+               .collect()}
+        assert got == want and want  # non-empty reference

@@ -379,6 +379,16 @@ def ngram_jaccard_pairs(
     ``storage_level``/``staging_dir``: where the shingle table (which
     feeds the pair expansion AND both size joins) materializes — see
     ``_persist_shingles``; at 100 TB stage it to the shared FS."""
+    ex, sizes = _capped_exploded(df, text_col, key_col, n, df_cap,
+                                 log_dropped, storage_level, staging_dir,
+                                 "ngram_jaccard_pairs")
+    return _pairs_from_exploded(ex, sizes, threshold)
+
+
+def _capped_exploded(df, text_col, key_col, n, df_cap, log_dropped,
+                     storage_level, staging_dir, op_name):
+    """Shared candidate feed for the exhaustive pair metrics:
+    (exploded (k, s) with stop-shingles capped, (k, sz) sizes)."""
     t = _persist_shingles(_shingle_table(df, text_col, key_col, n),
                           storage_level, staging_dir)
     ex = t.select("k", F.explode("sh").alias("s"))
@@ -392,10 +402,55 @@ def ngram_jaccard_pairs(
             n_hot = hot.count()
             if n_hot:
                 logger.warning(
-                    "ngram_jaccard_pairs: dropped %d stop-shingles with "
-                    "doc frequency > %d before pairing", n_hot, df_cap)
+                    "%s: dropped %d stop-shingles with "
+                    "doc frequency > %d before pairing",
+                    op_name, n_hot, df_cap)
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
-    return _pairs_from_exploded(ex, t.select("k", "sz"), threshold)
+    return ex, t.select("k", "sz")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = DEFAULT_DF_CAP,
+    log_dropped: bool = True,
+    storage_level: str = "MEMORY_AND_DISK",
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT
+    (Broder 1997's other resemblance measure): containment =
+    |A ∩ B| / min(|A|, |B|) — the smaller document's covered fraction.
+    Jaccard misses the canonical web pattern this catches: a short
+    quote or syndicated article embedded in a much longer page has
+    tiny Jaccard (union is dominated by the long page) but containment
+    ≈ 1. One row per unordered pair (id1 < id2, ``containment``
+    column); same physical shape, stop-shingle cap, and persistence
+    seams as ``ngram_jaccard_pairs``."""
+    ex, sizes = _capped_exploded(df, text_col, key_col, n, df_cap,
+                                 log_dropped, storage_level, staging_dir,
+                                 "ngram_containment_pairs")
+    per_shingle = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("k")).alias("ks"))
+        .filter(F.size("ks") > 1)
+    )
+    common = (_expand_pairs(per_shingle)
+              .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("k").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("k").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(sa, "id1").join(sb, "id2")
+        .withColumn(
+            "containment",
+            F.round(F.col("common")
+                    / F.least(F.col("sz1"), F.col("sz2"))
+                    + F.lit(1e-9), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
+    )
 
 
 # ----------------------------------------------------------- minhash-lsh
