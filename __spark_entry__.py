@@ -1313,6 +1313,45 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    # MOSS winnowing (operators/winnowing.py): local-overlap candidate
+    # pairs sharing >= 2 winnowed fingerprints; the (hash,pos)
+    # single-BIGINT packing makes the window-min selection (rightmost
+    # tie-break included) bit-for-bit replayable in DuckDB
+    from validatelite_spark.operators.winnowing import winnow_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_pairs(docs, "text", "doc_id", n=2, window=4,
+                        min_shared=2)
+
+
+_WINNOW_ORACLE = """
+WITH g AS (
+  SELECT doc_id AS k, len({toks}) - 1 AS L,
+         unnest(list_transform(range(1, len({toks})),
+           i -> {'pos': i - 1,
+                 'gram': array_to_string({toks}[i:i+1], ' ')}))
+           AS u
+  FROM documents WHERE len({toks}) >= 2
+), enc AS (
+  SELECT k, L, u.pos AS pos,
+         ('0x' || substr(md5(u.gram), 1, 8))::BIGINT * 1048576
+           + (1048575 - least(u.pos, 1048575)) AS e
+  FROM g
+), win AS (
+  SELECT k, L, pos,
+         min(e) OVER (PARTITION BY k ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w
+  FROM enc
+), sel AS (
+  SELECT DISTINCT k, w // 1048576 AS fp
+  FROM win WHERE pos <= greatest(L - 4, 0)
+)
+SELECT a.k AS id1, b.k AS id2, count(*) AS shared
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.k < b.k
+GROUP BY 1, 2 HAVING count(*) >= 2
+""".replace("{toks}", _d_tokens("text"))
+
+
 def _q_containment_pairs(spark, sf_dir):
     # asymmetric near-dup (operators/dedup.py ngram_containment_pairs):
     # |A∩B| / min(|A|,|B|) — catches a short quote embedded in a long
@@ -2421,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "winnow_pairs": _q_winnow_pairs,
         "containment_pairs": _q_containment_pairs,
         "dedup_eval": _q_dedup_eval,
         "snapshot_delta": _q_snapshot_delta,
@@ -3133,6 +3173,7 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
     out["dedup_eval"] = _dedup_eval_oracle()
     out["snapshot_delta"] = _snapshot_delta_oracle()
