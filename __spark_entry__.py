@@ -1313,6 +1313,50 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_curation_funnel(spark, sf_dir):
+    # single-pass stage census (pipeline/curation.py
+    # curate_with_funnel): observe() nodes at input/dedup/filter plus
+    # the final count, all materialized by ONE action — the SQL oracle
+    # recomputes each stage independently and must agree exactly
+    from validatelite_spark.pipeline.curation import (
+        curate_with_funnel,
+        funnel_report,
+    )
+    docs = _read(spark, sf_dir, "documents")
+    sel, obs = curate_with_funnel(spark, docs, 3000)
+    return funnel_report(spark, sel, obs).orderBy("stage")
+
+
+def _curation_funnel_oracle() -> str:
+    t = "text"
+    keep = (f"({t} IS NOT NULL AND NOT {_d_gopher_fail(t)} "
+            f"AND {_d_lang_id(t)} = 'en')")
+    return f"""
+WITH uniq AS MATERIALIZED (
+  SELECT doc_id, lang, n_chars, text FROM (
+    SELECT doc_id, lang, n_chars, text,
+           row_number() OVER (PARTITION BY {_d_fingerprint(t)}
+                              ORDER BY doc_id) AS rn
+    FROM documents WHERE text IS NOT NULL) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, lang, n_chars, text FROM documents WHERE text IS NULL
+), kept AS MATERIALIZED (
+  SELECT doc_id, lang, n_chars FROM uniq WHERE {keep}
+), running AS (
+  SELECT doc_id,
+         sum(n_chars) OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - n_chars AS pre
+  FROM kept
+)
+SELECT '1_input' AS stage, count(*) AS n FROM documents
+UNION ALL SELECT '2_dedup', count(*) FROM uniq
+UNION ALL SELECT '3_kept', count(*) FROM kept
+UNION ALL SELECT '4_selected', count(*) FROM running WHERE pre < 3000
+ORDER BY stage"""
+
+
 def _q_winnow_pairs(spark, sf_dir):
     # MOSS winnowing (operators/winnowing.py): local-overlap candidate
     # pairs sharing >= 2 winnowed fingerprints; the (hash,pos)
@@ -2460,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "curation_funnel": _q_curation_funnel,
         "winnow_pairs": _q_winnow_pairs,
         "containment_pairs": _q_containment_pairs,
         "dedup_eval": _q_dedup_eval,
@@ -3173,6 +3218,7 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
     out["dedup_eval"] = _dedup_eval_oracle()

@@ -36,12 +36,25 @@ predicate, fingerprint dedup, and running-sum cut replayed in SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from validatelite_spark.core.rules import Rule, RuleType, SeverityLevel
 from validatelite_spark.operators.dedup import exact_dedup, url_decontaminate
 from validatelite_spark.operators.sampling import token_budget_filter
 from validatelite_spark.pipeline.quality import (PipelineConfig,
                                                  QualityPipeline)
+
+
+def _standard_rules(text_col: str, allowed_langs) -> list:
+    return [
+        Rule(RuleType.NOT_NULL, text_col, name=f"not_null_{text_col}",
+             severity=SeverityLevel.CRITICAL),
+        Rule(RuleType.GOPHER, text_col, name=f"gopher_{text_col}",
+             severity=SeverityLevel.HIGH),
+        Rule(RuleType.LANG_ID, text_col,
+             {"allowed_langs": list(allowed_langs)},
+             name=f"lang_id_{text_col}", severity=SeverityLevel.HIGH),
+    ]
 
 
 def curate(
@@ -87,15 +100,7 @@ def curate(
       as running dedup physically first). Both legs precede the token
       budget, which must only count surviving docs."""
     cfg = PipelineConfig(allowed_langs=allowed_langs, text_column=text_col)
-    rules = [
-        Rule(RuleType.NOT_NULL, text_col, name=f"not_null_{text_col}",
-             severity=SeverityLevel.CRITICAL),
-        Rule(RuleType.GOPHER, text_col, name=f"gopher_{text_col}",
-             severity=SeverityLevel.HIGH),
-        Rule(RuleType.LANG_ID, text_col,
-             {"allowed_langs": list(allowed_langs)},
-             name=f"lang_id_{text_col}", severity=SeverityLevel.HIGH),
-    ]
+    rules = _standard_rules(text_col, allowed_langs)
     d = docs
     if benchmark_urls is not None:
         d = url_decontaminate(d, benchmark_urls, url_col)
@@ -114,3 +119,60 @@ def curate(
     return token_budget_filter(kept, token_budget, token_col,
                                by=lang_col, order_col=token_col,
                                key_col=key_col)
+
+
+def curate_with_funnel(
+    spark: SparkSession,
+    docs: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    lang_col: str = "lang",
+    token_col: str = "n_chars",
+    allowed_langs: tuple[str, ...] = ("en",),
+):
+    """``curate`` with a SINGLE-PASS stage funnel: (selected_df, obs)
+    where ``obs`` maps stage name → ``pyspark.sql.Observation``.
+
+    The funnel counts come from ``df.observe`` nodes planted at the
+    input, post-dedup, and post-filter points of the SAME lazy plan —
+    Spark's CollectMetrics accumulates them during whatever action the
+    caller runs on the result, so the stage census costs ZERO extra
+    scans (the naive funnel is one count() — one full recompute — per
+    stage). Branch safety: the dedup winner join and the budget's
+    two-phase prefix sum re-reference upstream sub-plans, but the
+    observed exchanges are reused (not re-executed), so each metric
+    counts its stage exactly once — pinned against the DuckDB replay by
+    the ``curation_funnel`` oracle and tests/test_curation_funnel.py.
+
+    Read the observations only AFTER an action on the returned frame
+    (``Observation.get`` blocks until then); ``funnel_report`` wraps
+    the idiom."""
+    from pyspark.sql import Observation
+
+    cnt = F.count(F.lit(1)).alias("n")
+    obs = {"1_input": Observation("funnel_input"),
+           "2_dedup": Observation("funnel_dedup"),
+           "3_kept": Observation("funnel_kept")}
+    cfg = PipelineConfig(allowed_langs=allowed_langs, text_column=text_col)
+    rules = _standard_rules(text_col, allowed_langs)
+    d = docs.observe(obs["1_input"], cnt)
+    uniq = (exact_dedup(d, text_col, key_col)
+            .observe(obs["2_dedup"], cnt))
+    ann = QualityPipeline(spark, cfg, rules).annotate(uniq)
+    kept = (ann.filter("keep").select(*docs.columns)
+            .observe(obs["3_kept"], cnt))
+    sel = token_budget_filter(kept, token_budget, token_col,
+                              by=lang_col, order_col=token_col,
+                              key_col=key_col)
+    return sel, obs
+
+
+def funnel_report(spark: SparkSession, selected: DataFrame,
+                  obs: dict) -> DataFrame:
+    """(stage, n) census: runs ONE action (count of the selected set),
+    which also materializes every observed stage metric."""
+    n_sel = selected.count()
+    rows = [(k, int(o.get["n"])) for k, o in sorted(obs.items())]
+    rows.append(("4_selected", n_sel))
+    return spark.createDataFrame(rows, "stage string, n long")
