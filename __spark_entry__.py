@@ -1313,6 +1313,60 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_centroid_similarity(spark, sf_dir):
+    # cluster topology report (operators/similarity.py): pairwise
+    # cosine between per-label embedding centroids, long-format
+    # throughout (no collect_list order hazard), doubles before any
+    # arithmetic
+    from validatelite_spark.operators.similarity import centroid_similarity
+    emb = _read(spark, sf_dir, "embeddings")
+    return (centroid_similarity(emb, "embedding", "label")
+            .orderBy("l1", "l2"))
+
+
+def _centroid_similarity_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT label AS g, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+long AS (
+  SELECT g, u.i AS pos, avg(u.x) AS c
+  FROM (SELECT g, unnest(list_transform(range(1, len(v) + 1),
+               i -> {'i': i - 1, 'x': v[i]})) AS u FROM e)
+  GROUP BY g, u.i),
+p AS (
+  SELECT a.g AS l1, b.g AS l2,
+         sum(a.c * b.c) AS dot,
+         sum(a.c * a.c) AS na, sum(b.c * b.c) AS nb
+  FROM long a JOIN long b ON a.pos = b.pos AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT l1, l2, round(dot / (sqrt(na) * sqrt(nb)) + 1e-9, 6) AS cos
+FROM p ORDER BY l1, l2"""
+
+
+def _q_langid_eval(spark, sf_dir):
+    # filter diagnostics: confusion matrix of the n-gram language
+    # detector (functions/textquality.lang_id) against the corpus's
+    # labeled lang column — the accuracy census a pipeline owner reads
+    # before trusting a LANG_ID gate
+    from validatelite_spark.functions.textquality import lang_id
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    return (docs.select(F.col("lang").alias("true_lang"),
+                        lang_id(F.col("text")).alias("pred_lang"))
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("true_lang", "pred_lang"))
+
+
+def _langid_eval_oracle() -> str:
+    return f"""
+SELECT lang AS true_lang, {_d_lang_id("text")} AS pred_lang,
+       count(*) AS n
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _q_curation_funnel(spark, sf_dir):
     # single-pass stage census (pipeline/curation.py
     # curate_with_funnel): observe() nodes at input/dedup/filter plus
@@ -2504,6 +2558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "centroid_similarity": _q_centroid_similarity,
+        "langid_eval": _q_langid_eval,
         "curation_funnel": _q_curation_funnel,
         "winnow_pairs": _q_winnow_pairs,
         "containment_pairs": _q_containment_pairs,
@@ -3218,6 +3274,8 @@ FROM documents, bll b""",
     out["categorical_drift"] = _categorical_drift_oracle()
     out["blocklist_filter"] = _blocklist_oracle()
     out["warc_scan"] = _warc_oracle()
+    out["centroid_similarity"] = _centroid_similarity_oracle()
+    out["langid_eval"] = _langid_eval_oracle()
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE

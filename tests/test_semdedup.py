@@ -174,3 +174,38 @@ class TestInvariance:
         assert all(len(r["centroid"]) == 8 for r in cents)
         n_buckets = assigned.select("bucket").distinct().count()
         assert len(cents) == n_buckets
+
+
+class TestCentroidSimilarity:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from validatelite_spark.operators.similarity import \
+            centroid_similarity
+        rng = {0: [[1.0, 0.0], [0.8, 0.2]],
+               1: [[0.0, 1.0], [0.2, 0.8]],
+               2: [[1.0, 1.0]]}
+        rows = [(lab, [float(x) for x in v])
+                for lab, vs in rng.items() for v in vs]
+        df = spark.createDataFrame(rows, "label int, embedding array<float>")
+        got = {(r["l1"], r["l2"]): r["cos"]
+               for r in centroid_similarity(df).collect()}
+        cents = {k: np.mean(np.array(v, dtype=np.float64)
+                            .astype(np.float32).astype(np.float64), axis=0)
+                 for k, v in rng.items()}
+        for (a, b), c in got.items():
+            ca, cb = cents[a], cents[b]
+            want = round(float(ca @ cb / (np.linalg.norm(ca)
+                                          * np.linalg.norm(cb))) + 1e-9, 6)
+            assert c == pytest.approx(want, abs=2e-6)
+        assert set(got) == {(0, 1), (0, 2), (1, 2)}
+        assert got[(0, 2)] > got[(0, 1)]
+
+    def test_null_rows_dropped(self, spark):
+        from validatelite_spark.operators.similarity import \
+            centroid_similarity
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (None, [1.0, 1.0]),
+             (0, None)],
+            "label int, embedding array<float>")
+        out = centroid_similarity(df).collect()
+        assert len(out) == 1

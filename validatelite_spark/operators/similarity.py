@@ -587,3 +587,43 @@ def ivf_index_probe(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def centroid_similarity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    by: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding
+    centroids: (l1, l2, cos) for l1 < l2 — the cluster/domain topology
+    report (which sources or semantic clusters are near-duplicates of
+    each other in embedding space; feeds SemDeDup-style cluster-merge
+    decisions and mixture design).
+
+    Scale shape: everything stays in LONG format — (group, dim, value)
+    — so there is no collect_list whose element order a partitioning
+    could change. One posexplode + groupBy(group, dim) builds the
+    centroids (|groups| × dim rows — tiny), the pair join is on the
+    dim key over that tiny table, and dot/norms aggregate in the same
+    pass. Vectors cast to double BEFORE any arithmetic (CLAUDE.md
+    rule 2); cosine rounded at the end."""
+    e = (df.filter(F.col(vec_col).isNotNull() & F.col(by).isNotNull())
+         .select(F.col(by).alias("g"),
+                 F.posexplode(F.col(vec_col).cast("array<double>"))
+                 .alias("pos", "x")))
+    cent = e.groupBy("g", "pos").agg(F.avg("x").alias("c"))
+    a = cent.select(F.col("g").alias("l1"), "pos",
+                    F.col("c").alias("ca"))
+    b = cent.select(F.col("g").alias("l2"), "pos",
+                    F.col("c").alias("cb"))
+    return (a.join(b, "pos")
+            .filter(F.col("l1") < F.col("l2"))
+            .groupBy("l1", "l2")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("__dot"),
+                 F.sum(F.col("ca") * F.col("ca")).alias("__na"),
+                 F.sum(F.col("cb") * F.col("cb")).alias("__nb"))
+            .select("l1", "l2",
+                    F.round(F.col("__dot")
+                            / (F.sqrt("__na") * F.sqrt("__nb"))
+                            + 1e-9, round_to).alias("cos")))
