@@ -1313,6 +1313,21 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_image_near_dups(spark, sf_dir):
+    # perceptual image dedup (operators/multimodal.py): dHash
+    # signatures through the Manku banding + exact hamming verify of
+    # the text SimHash path; rows-only oracle (binary codec is
+    # non-SQL; dhash64 pinned vs numpy in tests). The synthetic corpus
+    # plants exact perceptual dups (ids 256 apart are pixel-identical)
+    from validatelite_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        synthesize_images,
+    )
+    imgs = synthesize_images(spark, 600, height=16, width=12)
+    return (image_near_dup_pairs(imgs, max_distance=2)
+            .orderBy("id1", "id2"))
+
+
 def _q_centroid_similarity(spark, sf_dir):
     # cluster topology report (operators/similarity.py): pairwise
     # cosine between per-label embedding centroids, long-format
@@ -2558,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "image_near_dups": _q_image_near_dups,
         "centroid_similarity": _q_centroid_similarity,
         "langid_eval": _q_langid_eval,
         "curation_funnel": _q_curation_funnel,

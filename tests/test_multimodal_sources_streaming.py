@@ -260,3 +260,46 @@ class TestStreaming:
         # streaming totals equal the batch pipeline's totals
         batch_kept = pipe.annotate(pages).filter("keep").count()
         assert sum(r["kept"] for r in got) == batch_kept
+
+
+class TestPerceptualDedup:
+    def test_dhash_numpy_reference(self):
+        import numpy as np
+        from validatelite_spark.operators.multimodal import dhash64
+        rng_y, rng_x = np.mgrid[0:16, 0:16]
+        img = np.stack([(rng_y * 9 + rng_x * 5) % 256] * 3,
+                       axis=2).astype(np.uint8)
+        h = dhash64(img)
+        # independent recompute
+        g = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        s = g[np.ix_((np.arange(8) * 16) // 8, (np.arange(9) * 16) // 9)]
+        want = 0
+        for b in (s[:, 1:] > s[:, :-1]).ravel():
+            want = (want << 1) | int(b)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert h == want
+        # uniform brightness shift leaves dHash unchanged (no wrap)
+        assert dhash64(np.clip(img.astype(int) + 10, 0, 255)
+                       .astype(np.uint8)) == h
+
+    def test_identical_images_pair_at_distance_zero(self, spark):
+        from validatelite_spark.operators.multimodal import (
+            image_near_dup_pairs,
+            synthesize_images,
+        )
+        # generator pixels depend on id only through (id*31) % 256 ->
+        # ids 256 apart are pixel-identical
+        imgs = synthesize_images(spark, 300)
+        pairs = image_near_dup_pairs(imgs, max_distance=0).collect()
+        got = {(r["id1"], r["id2"]) for r in pairs}
+        for i in range(300 - 256):
+            a, b = f"img://corpus/{i:08d}", f"img://corpus/{i + 256:08d}"
+            assert (min(a, b), max(a, b)) in got
+
+    def test_undecodable_rows_dropped(self, spark):
+        from validatelite_spark.operators.multimodal import image_dhash
+        df = spark.createDataFrame(
+            [("u1", bytearray(b"not an image")), ("u2", None)],
+            "url string, html binary")
+        assert image_dhash(df).collect() == []

@@ -27,6 +27,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 #: output schema of the feature-extraction pass
 FEATURES_SCHEMA = (
@@ -612,3 +614,60 @@ def frame_sample(
         .mapInPandas(sample,
                      schema="url string, frame_idx int, frame_bytes binary")
     )
+
+
+# ------------------------------------------------------ perceptual dedup
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of an HxWx3 uint8 image: luma ->
+    nearest-neighbor resample to 8 rows x 9 cols -> each bit is
+    gray[y, x+1] > gray[y, x]. Robust to uniform brightness shifts and
+    resizing (the standard cheap perceptual fingerprint). Returned as a
+    SIGNED 64-bit int so it round-trips a Spark long."""
+    g = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    ys = (np.arange(8) * g.shape[0]) // 8
+    xs = (np.arange(9) * g.shape[1]) // 9
+    s = g[np.ix_(ys, xs)]
+    bits = (s[:, 1:] > s[:, :-1]).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_dhash(df, bin_col: str = "html",
+                key_col: str = "url"):
+    """(k, sh): perceptual dHash per decodable image (BMP/PNM; rows
+    that fail to decode are dropped). One Arrow-batched pandas UDF."""
+    @pandas_udf("long")
+    def dh(payloads: pd.Series) -> pd.Series:
+        out = []
+        for b in payloads:
+            arr = _decode_image(bytes(b)) if b is not None else None
+            out.append(dhash64(arr) if arr is not None else None)
+        return pd.Series(out, dtype="object")
+
+    return (df.select(F.col(key_col).alias("k"),
+                      dh(F.col(bin_col)).alias("sh"))
+            .filter(F.col("sh").isNotNull()))
+
+
+def image_near_dup_pairs(
+    df,
+    bin_col: str = "html",
+    key_col: str = "url",
+    max_distance: int = 3,
+    blocks: int | None = None,
+):
+    """Perceptual image near-dup pairs: dHash signatures fed through
+    the SAME Manku pigeonhole banding + exact hamming verify as text
+    SimHash (operators/dedup.simhash_candidates — recall exactly 1 by
+    construction, bucket-capped star edges on pathological clusters).
+    Returns (id1, id2, distance). Binary payloads are not
+    SQL-replayable, so the driver check is rows-only; the dHash itself
+    is pinned against a numpy reference in tests."""
+    from validatelite_spark.operators.dedup import simhash_candidates
+
+    sig = image_dhash(df, bin_col, key_col)
+    return simhash_candidates(sig, max_distance=max_distance,
+                              blocks=blocks)
