@@ -1313,6 +1313,20 @@ def _q_bpe_merges(spark, sf_dir):
         "rank int, left string, right string, cnt long")
 
 
+def _q_audio_near_dups(spark, sf_dir):
+    # audio dedup (operators/multimodal.py): spectral
+    # energy-difference fingerprints through the shared Manku banding;
+    # rows-only (binary; numpy-pinned in tests). Synthetic corpus
+    # plants dups: pitch is a function of id % 37
+    from validatelite_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        synthesize_audio,
+    )
+    clips = synthesize_audio(spark, 400)
+    return (audio_near_dup_pairs(clips, max_distance=0)
+            .orderBy("id1", "id2"))
+
+
 def _q_image_near_dups(spark, sf_dir):
     # perceptual image dedup (operators/multimodal.py): dHash
     # signatures through the Manku banding + exact hamming verify of
@@ -2574,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- round 5 ----
         "image_near_dups": _q_image_near_dups,
+        "audio_near_dups": _q_audio_near_dups,
         "centroid_similarity": _q_centroid_similarity,
         "langid_eval": _q_langid_eval,
         "curation_funnel": _q_curation_funnel,

@@ -303,3 +303,39 @@ class TestPerceptualDedup:
             [("u1", bytearray(b"not an image")), ("u2", None)],
             "url string, html binary")
         assert image_dhash(df).collect() == []
+
+
+class TestAudioDedup:
+    def test_fp_numpy_reference_and_gain_invariance(self):
+        import numpy as np
+        from validatelite_spark.operators.multimodal import audio_fp64
+        t = np.arange(2048) / 16000.0
+        clip = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+        h = audio_fp64(clip)
+        spec = np.abs(np.fft.rfft(clip)) ** 2
+        edges = np.linspace(1, len(spec), 66).astype(int)
+        bands = np.array([spec[a:b].sum() if b > a else 0.0
+                          for a, b in zip(edges[:-1], edges[1:])])
+        want = 0
+        for b in bands[1:] > bands[:-1]:
+            want = (want << 1) | int(b)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert h == want
+        assert audio_fp64(clip * 0.1) == h  # gain-invariant
+
+    def test_same_pitch_clips_pair(self, spark):
+        from validatelite_spark.operators.multimodal import (
+            audio_near_dup_pairs,
+            synthesize_audio,
+        )
+        # generator pitch = 110*(1 + i % 37): ids 37 apart are
+        # identical clips -> distance-0 pairs
+        clips = synthesize_audio(spark, 80)
+        got = {(r["id1"], r["id2"])
+               for r in audio_near_dup_pairs(clips,
+                                             max_distance=0).collect()}
+        for i in range(80 - 37):
+            a = f"audio://corpus/{i:08d}"
+            b = f"audio://corpus/{i + 37:08d}"
+            assert (min(a, b), max(a, b)) in got
