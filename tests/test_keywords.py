@@ -70,15 +70,20 @@ class TestDomainTopTerms:
         ref = ref_top_terms(ROWS, 10, min_df=2, stopwords=("the",))
         assert terms == {w for v in ref.values() for (w, _, _) in v}
 
-    def test_no_corpus_countdistinct_and_no_driver_collect(self, spark,
-                                                           corpus):
-        # domain frequency must come from the aggregated (domain, term)
-        # table, and the N-domains scalar must stay in-plan: exactly
-        # one scan of the input in the physical plan
+    def test_tf_table_cached_for_all_three_consumers(self, spark,
+                                                     corpus):
+        # the (domain, term, tf) table feeds dfreq + the N-domains
+        # scalar + the scoring join; AQE does NOT reuse that exchange,
+        # so it must come from the persisted table in all three places
+        # (the corpus explode runs once, not three times)
         from validatelite_spark.operators.keywords import domain_top_terms
-        plan = (domain_top_terms(corpus)
-                ._jdf.queryExecution().executedPlan().toString())
-        assert plan.count("ExistingRDD") + plan.count("LocalTableScan") <= 3
+        df = domain_top_terms(corpus)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3
+        # (no inverse assertion: once cached, Spark's CacheManager
+        # substitutes the fragment into ANY matching plan in the
+        # session, including storage_level=None calls)
 
     def test_rank_ties_deterministic(self, spark):
         from validatelite_spark.operators.keywords import domain_top_terms

@@ -61,15 +61,27 @@ def domain_top_terms(
     min_df: int = 1,
     stopwords=None,
     round_to: int = 6,
+    storage_level: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Top-``top_k`` terms per domain by smoothed TF-IDF:
     (domain, term, tf, tfidf). ``min_df`` drops terms seen in fewer
     than that many domains (hapax noise); ``stopwords`` is an optional
     literal list filtered BEFORE counting (tiny — in-predicate, no
-    join)."""
+    join).
+
+    The (domain, term, tf) table feeds THREE consumers (domain
+    frequency, the N-domains scalar, and the scoring join) and AQE
+    does NOT reuse the exchange across them — unpersisted, the
+    corpus-wide explode+aggregate runs three times (measured).
+    ``storage_level`` persists the vocab-sized table once instead
+    (None to disable in no-cache contexts)."""
     tf = domain_term_counts(df, text_col, by)
     if stopwords:
         tf = tf.filter(~F.col("term").isin(list(stopwords)))
+    if storage_level is not None:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(getattr(StorageLevel, storage_level))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
