@@ -1479,6 +1479,130 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_exact_substring_pairs(spark, sf_dir):
+    # Lee et al. 2022 ExactSubstr (operators/substrings.py): document
+    # pairs sharing an exact word run >= 15 words, recovered EXACTLY
+    # from positional 8-gram seeds merged on alignment diagonals —
+    # the distributed re-expression of the paper's suffix array
+    from validatelite_spark.operators.substrings import (
+        exact_substring_pairs)
+    docs = _read(spark, sf_dir, "documents")
+    return exact_substring_pairs(docs, "text", "doc_id", n=8,
+                                 min_words=15)
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    # keep-first duplicated word spans to cut per document (merged
+    # 1-based inclusive ranges) — the scrub plan's input
+    from validatelite_spark.operators.substrings import duplicate_spans
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "text", "doc_id", n=8, min_words=15)
+
+
+def _q_substring_scrub(spark, sf_dir):
+    # ExactSubstr scrub: cut every duplicated span (later doc loses its
+    # copy) from the token stream; full corpus out, words_cut counted
+    from validatelite_spark.operators.substrings import substring_scrub
+    docs = _read(spark, sf_dir, "documents")
+    return substring_scrub(docs, "text", "doc_id", n=8, min_words=15)
+
+
+#: shared CTE chain for the ExactSubstr family: positional 8-gram
+#: seeds -> cross-doc matches -> diagonal gaps-and-islands -> maximal
+#: runs. MATERIALIZED per CLAUDE.md 13b — pg/seeds are each referenced
+#: twice and DuckDB would otherwise re-expand the corpus-wide explode.
+_SUBSTR_BASE = """
+WITH t AS (
+  SELECT doc_id AS k, {toks} AS w FROM documents WHERE len({toks}) >= 8
+), pg AS MATERIALIZED (
+  SELECT k, unnest(range(1, len(w) - 6)) AS pos,
+         unnest(list_transform(range(1, len(w) - 6),
+                i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM t
+), ms AS MATERIALIZED (
+  SELECT g FROM pg GROUP BY g HAVING count(*) BETWEEN 2 AND 2000
+), seeds AS MATERIALIZED (
+  SELECT a.k AS id1, a.pos AS p1, b.k AS id2, b.pos AS p2
+  FROM pg a JOIN pg b USING (g) JOIN ms USING (g)
+  WHERE a.k < b.k
+), islands AS (
+  SELECT id1, id2, p1, p2,
+         p1 - row_number() OVER (PARTITION BY id1, id2, p1 - p2
+                                 ORDER BY p1) AS island
+  FROM seeds
+), runs AS MATERIALIZED (
+  SELECT id1, id2, min(p1) AS p1_start, min(p2) AS p2_start,
+         count(*) + 7 AS run_words
+  FROM islands GROUP BY id1, id2, p1 - p2, island
+)
+""".replace("{toks}", _d_tokens("text"))
+
+_SUBSTR_PAIRS_ORACLE = _SUBSTR_BASE + """
+SELECT id1, id2, CAST(max(run_words) AS BIGINT) AS overlap_words,
+       CAST(count(*) FILTER (WHERE run_words >= 15) AS BIGINT) AS n_runs
+FROM runs GROUP BY id1, id2 HAVING max(run_words) >= 15
+ORDER BY id1, id2
+"""
+
+#: merged keep-first spans: later doc (id2) loses its copy; touching
+#: spans merge (end >= next start - 1)
+_SUBSTR_SPANS_SQL = """, spans0 AS (
+  SELECT id2 AS k, p2_start AS start, p2_start + run_words - 1 AS "end"
+  FROM runs WHERE run_words >= 15
+), marked AS (
+  SELECT k, start, "end",
+         CASE WHEN max("end") OVER (PARTITION BY k ORDER BY start, "end"
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              >= start - 1 THEN 0 ELSE 1 END AS new_island
+  FROM spans0
+), merged AS MATERIALIZED (
+  SELECT k, min(start) AS start, max("end") AS "end"
+  FROM (SELECT k, start, "end",
+               sum(new_island) OVER (PARTITION BY k
+                   ORDER BY start, "end"
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+        FROM marked)
+  GROUP BY k, island
+)
+"""
+
+_SUBSTR_SPANS_ORACLE = _SUBSTR_BASE + _SUBSTR_SPANS_SQL + """
+SELECT CAST(k AS BIGINT) AS k, CAST(start AS BIGINT) AS start,
+       CAST("end" AS BIGINT) AS "end"
+FROM merged ORDER BY k, start
+"""
+
+_SUBSTR_SCRUB_ORACLE = _SUBSTR_BASE + _SUBSTR_SPANS_SQL + """
+, aff AS (SELECT DISTINCT k FROM merged),
+alltoks AS (SELECT doc_id AS k, {toks} AS w FROM documents),
+pos AS (
+  SELECT a.k, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tok
+  FROM alltoks a JOIN aff USING (k)
+), kept AS (
+  SELECT p.k, p.pos, p.tok FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.k = p.k AND p.pos BETWEEN m.start AND m."end")
+), rebuilt AS (
+  SELECT k, string_agg(tok, ' ' ORDER BY pos) AS sc,
+         count(*) AS n_kept
+  FROM kept GROUP BY k
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            WHEN a.k IS NOT NULL THEN coalesce(r.sc, '')
+            ELSE coalesce(array_to_string({toks}, ' '), '') END
+         AS scrubbed_text,
+       CAST(CASE WHEN a.k IS NOT NULL
+                 THEN len({toks}) - coalesce(r.n_kept, 0)
+                 ELSE 0 END AS BIGINT) AS words_cut
+FROM documents d
+LEFT JOIN aff a ON a.k = d.doc_id
+LEFT JOIN rebuilt r ON r.k = d.doc_id
+ORDER BY d.doc_id
+""".replace("{toks}", _d_tokens("text"))
+
+
 def _q_containment_pairs(spark, sf_dir):
     # asymmetric near-dup (operators/dedup.py ngram_containment_pairs):
     # |A∩B| / min(|A|,|B|) — catches a short quote embedded in a long
@@ -2587,6 +2711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "exact_substring_pairs": _q_exact_substring_pairs,
+        "duplicate_spans": _q_duplicate_spans,
+        "substring_scrub": _q_substring_scrub,
         "image_near_dups": _q_image_near_dups,
         "audio_near_dups": _q_audio_near_dups,
         "centroid_similarity": _q_centroid_similarity,
@@ -3310,6 +3437,9 @@ FROM documents, bll b""",
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
+    out["exact_substring_pairs"] = _SUBSTR_PAIRS_ORACLE
+    out["duplicate_spans"] = _SUBSTR_SPANS_ORACLE
+    out["substring_scrub"] = _SUBSTR_SCRUB_ORACLE
     out["dedup_eval"] = _dedup_eval_oracle()
     out["snapshot_delta"] = _snapshot_delta_oracle()
     out["fineweb_signals"] = _fineweb_oracle()

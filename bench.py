@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "domain_filter",
     "normalize_text",
     # round 5
+    "exact_substring_pairs",
+    "substring_scrub",
     "semantic_dedup",
     "dsir_weights",
     "mixture_sample",
