@@ -1479,6 +1479,62 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_split_summary(spark, sf_dir):
+    # leakage-safe train/valid/test split (operators/splits.py): the
+    # split label is a pure function of the DOMAIN hash, so every page
+    # of a site lands in exactly one split — assignment is one
+    # shuffle-free projection, audited here with one aggregate
+    from validatelite_spark.operators.splits import split_summary
+    docs = _read(spark, sf_dir, "documents")
+    return split_summary(docs, by="source", seed=0, size_col="n_chars")
+
+
+def _q_split_leakage(spark, sf_dir):
+    # the leakage AUDIT: union two assignments made with different
+    # seeds (the way real leakage arises — corpora split by different
+    # runs/policies then merged) and report every domain that now
+    # spans more than one split
+    from validatelite_spark.operators.splits import (
+        leakage_safe_split, split_leakage)
+    docs = _read(spark, sf_dir, "documents")
+    both = (leakage_safe_split(docs, "source", seed=0)
+            .unionByName(leakage_safe_split(docs, "source", seed=1)))
+    return (split_leakage(both, "source")
+            .withColumn("splits", F.array_join("splits", ",")))
+
+
+_SPLIT_ASSIGN_SQL = """
+  SELECT source, n_chars,
+         CASE WHEN b < 900000 THEN 'train'
+              WHEN b < 950000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (SELECT source, n_chars,
+               ('0x' || substr(md5(concat_ws(':', source, '{seed}')),
+                               1, 8))::BIGINT % 1000000 AS b
+        FROM documents)
+"""
+
+_SPLIT_SUMMARY_ORACLE = f"""
+WITH s AS ({_SPLIT_ASSIGN_SQL.replace('{seed}', '0')})
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT source) AS n_groups,
+       CAST(sum(n_chars) AS BIGINT) AS size
+FROM s GROUP BY split ORDER BY split
+"""
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+WITH unioned AS (
+  {_SPLIT_ASSIGN_SQL.replace('{seed}', '0')}
+  UNION ALL
+  {_SPLIT_ASSIGN_SQL.replace('{seed}', '1')}
+), ds AS (SELECT DISTINCT source AS grp, split FROM unioned)
+SELECT grp, count(DISTINCT split) AS n_splits,
+       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+FROM ds GROUP BY grp HAVING count(DISTINCT split) > 1
+ORDER BY grp
+"""
+
+
 def _q_exact_substring_pairs(spark, sf_dir):
     # Lee et al. 2022 ExactSubstr (operators/substrings.py): document
     # pairs sharing an exact word run >= 15 words, recovered EXACTLY
@@ -2711,6 +2767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "split_summary": _q_split_summary,
+        "split_leakage": _q_split_leakage,
         "exact_substring_pairs": _q_exact_substring_pairs,
         "duplicate_spans": _q_duplicate_spans,
         "substring_scrub": _q_substring_scrub,
@@ -3437,6 +3495,8 @@ FROM documents, bll b""",
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
+    out["split_summary"] = _SPLIT_SUMMARY_ORACLE
+    out["split_leakage"] = _SPLIT_LEAKAGE_ORACLE
     out["exact_substring_pairs"] = _SUBSTR_PAIRS_ORACLE
     out["duplicate_spans"] = _SUBSTR_SPANS_ORACLE
     out["substring_scrub"] = _SUBSTR_SCRUB_ORACLE
