@@ -1327,6 +1327,20 @@ def _q_audio_near_dups(spark, sf_dir):
             .orderBy("id1", "id2"))
 
 
+def _q_video_near_dups(spark, sf_dir):
+    # video dedup (operators/multimodal.py): temporal dHash (per-frame
+    # horizontal-gradient signs over 8 sampled frames) through the
+    # shared Manku banding; rows-only (binary; numpy-pinned in tests).
+    # Synthetic corpus plants dups: luma repeats at id % 256
+    from validatelite_spark.operators.multimodal import (
+        synthesize_videos,
+        video_near_dup_pairs,
+    )
+    vids = synthesize_videos(spark, 400)
+    return (video_near_dup_pairs(vids, max_distance=0)
+            .orderBy("id1", "id2"))
+
+
 def _q_image_near_dups(spark, sf_dir):
     # perceptual image dedup (operators/multimodal.py): dHash
     # signatures through the Manku banding + exact hamming verify of
@@ -2774,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_scrub": _q_substring_scrub,
         "image_near_dups": _q_image_near_dups,
         "audio_near_dups": _q_audio_near_dups,
+        "video_near_dups": _q_video_near_dups,
         "centroid_similarity": _q_centroid_similarity,
         "langid_eval": _q_langid_eval,
         "curation_funnel": _q_curation_funnel,

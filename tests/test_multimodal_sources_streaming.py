@@ -339,3 +339,48 @@ class TestAudioDedup:
             a = f"audio://corpus/{i:08d}"
             b = f"audio://corpus/{i + 37:08d}"
             assert (min(a, b), max(a, b)) in got
+
+
+class TestVideoDedup:
+    def test_fp_numpy_reference_and_gain_invariance(self):
+        import numpy as np
+        from validatelite_spark.operators.multimodal import video_fp64
+        ff, yy, xx = np.mgrid[0:6, 0:8, 0:8]
+        clip = ((ff * 11 + yy * 13 + xx * 7) % 200).astype(np.uint8)
+        h = video_fp64(clip)
+        g = clip.astype(np.float64)
+        cm = g[(np.arange(8) * 6) // 8].mean(axis=1)
+        s = cm[:, (np.arange(9) * 8) // 9]
+        want = 0
+        for b in (s[:, 1:] > s[:, :-1]).ravel():
+            want = (want << 1) | int(b)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert h == want
+        # uniform luma shift (no wrap) leaves the hash unchanged
+        assert video_fp64(np.clip(clip.astype(int) + 30, 0, 255)
+                          .astype(np.uint8)) == h
+
+    def test_identical_videos_pair_at_distance_zero(self, spark):
+        from validatelite_spark.operators.multimodal import (
+            synthesize_videos,
+            video_near_dup_pairs,
+        )
+        # generator luma depends on id only through (id*29) % 256 ->
+        # ids 256 apart are pixel-identical clips
+        vids = synthesize_videos(spark, 300)
+        got = {(r["id1"], r["id2"])
+               for r in video_near_dup_pairs(vids,
+                                             max_distance=0).collect()}
+        for i in range(300 - 256):
+            a = f"video://corpus/{i:08d}"
+            b = f"video://corpus/{i + 256:08d}"
+            assert (min(a, b), max(a, b)) in got
+
+    def test_undecodable_rows_dropped(self, spark):
+        from validatelite_spark.operators.multimodal import (
+            video_fingerprint)
+        df = spark.createDataFrame(
+            [("u1", bytearray(b"not a video")), ("u2", None)],
+            "url string, html binary")
+        assert video_fingerprint(df).collect() == []

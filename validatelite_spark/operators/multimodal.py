@@ -722,3 +722,58 @@ def audio_near_dup_pairs(
     sig = audio_fingerprint(df, bin_col, key_col)
     return simhash_candidates(sig, max_distance=max_distance,
                               blocks=blocks)
+
+
+def video_fp64(frames: np.ndarray) -> int:
+    """64-bit temporal dHash of a luma clip shaped (T, H, W): sample 8
+    evenly spaced frames, collapse each to 9 column means (nearest
+    columns, rows averaged), each bit is col[t, x+1] > col[t, x] — the
+    per-frame horizontal-gradient-sign family (videohash/TMK-lite),
+    robust to uniform gain and resolution, sensitive to content and
+    frame order. A single changed frame flips at most 8 of 64 bits.
+    Signed 64-bit for a Spark long."""
+    g = frames.astype(np.float64)
+    ts = (np.arange(8) * g.shape[0]) // 8
+    xs = (np.arange(9) * g.shape[2]) // 9
+    col_means = g[ts].mean(axis=1)          # 8 sampled frames x W
+    s = col_means[:, xs]                    # 8 x 9
+    bits = (s[:, 1:] > s[:, :-1]).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def video_fingerprint(df, bin_col: str = "html",
+                      key_col: str = "url"):
+    """(k, sh): temporal dHash per decodable y4m clip."""
+    @pandas_udf("long")
+    def fp(payloads: pd.Series) -> pd.Series:
+        out = []
+        for b in payloads:
+            dec = decode_y4m(bytes(b)) if b is not None else None
+            out.append(video_fp64(dec[0]) if dec is not None else None)
+        return pd.Series(out, dtype="object")
+
+    return (df.select(F.col(key_col).alias("k"),
+                      fp(F.col(bin_col)).alias("sh"))
+            .filter(F.col("sh").isNotNull()))
+
+
+def video_near_dup_pairs(
+    df,
+    bin_col: str = "html",
+    key_col: str = "url",
+    max_distance: int = 3,
+    blocks: int | None = None,
+):
+    """Video near-dup pairs: temporal dHashes through the shared
+    pigeonhole banding + exact hamming verify
+    (operators/dedup.simhash_candidates) — the same scale shape as the
+    image and audio paths. Rows-only driver check (binary codec is
+    non-SQL); video_fp64 pinned vs numpy in tests."""
+    from validatelite_spark.operators.dedup import simhash_candidates
+
+    sig = video_fingerprint(df, bin_col, key_col)
+    return simhash_candidates(sig, max_distance=max_distance,
+                              blocks=blocks)
