@@ -1493,6 +1493,41 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_intra_doc_line_dedup(spark, sf_dir):
+    # intra-document repeated-line strip (operators/lines.py): one
+    # shuffle-free Arrow projection; first occurrence per line kept,
+    # sub-min_chars lines untouched. Word-split corpus (the documents
+    # table is single-line); md5 of the scrubbed text keeps the
+    # compared payload small, like chunk_dedup
+    from validatelite_spark.operators.lines import intra_doc_line_dedup
+    out = intra_doc_line_dedup(_lines_corpus(spark, sf_dir),
+                               "text", "doc_id", min_chars=1)
+    return (out.select("doc_id", F.md5("text").alias("fp"),
+                       "lines_removed")
+            .orderBy("doc_id"))
+
+
+_INTRA_LINE_ORACLE = """
+WITH l AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ls
+  FROM documents
+), k AS (
+  SELECT doc_id, text,
+         list_filter(ls, (x, i) -> length(x) < 1
+                                   OR list_position(ls, x) = i) AS kept,
+         len(ls) AS n0
+  FROM l
+)
+SELECT doc_id,
+       md5(CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(array_to_string(kept, chr(10)), '') END)
+         AS fp,
+       CAST(CASE WHEN text IS NULL THEN 0
+                 ELSE n0 - len(kept) END AS BIGINT) AS lines_removed
+FROM k ORDER BY doc_id
+"""
+
+
 def _q_split_summary(spark, sf_dir):
     # leakage-safe train/valid/test split (operators/splits.py): the
     # split label is a pure function of the DOMAIN hash, so every page
@@ -2781,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "intra_doc_line_dedup": _q_intra_doc_line_dedup,
         "split_summary": _q_split_summary,
         "split_leakage": _q_split_leakage,
         "exact_substring_pairs": _q_exact_substring_pairs,
@@ -3510,6 +3546,7 @@ FROM documents, bll b""",
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
+    out["intra_doc_line_dedup"] = _INTRA_LINE_ORACLE
     out["split_summary"] = _SPLIT_SUMMARY_ORACLE
     out["split_leakage"] = _SPLIT_LEAKAGE_ORACLE
     out["exact_substring_pairs"] = _SUBSTR_PAIRS_ORACLE

@@ -256,3 +256,43 @@ class TestChunkDedup:
             got = {r["doc_id"]: r["text_dedup"]
                    for r in chunk_dedup(df, window_tokens=w).collect()}
             assert got == ref(rows, w), f"trial {trial} w={w}"
+
+
+class TestIntraDocLineDedup:
+    ROWS = [
+        (1, "nav menu\ncontent one\nnav menu\ncontent two\nnav menu"),
+        (2, "a\n\nb\n\na\nb"),     # blanks always kept (min_chars=1)
+        (3, None),
+        (4, ""),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS,
+                                     "doc_id long, text string")
+
+    def test_semantics(self, spark):
+        from validatelite_spark.operators.lines import intra_doc_line_dedup
+        out = {r.doc_id: (r.text, r.lines_removed)
+               for r in intra_doc_line_dedup(self._df(spark)).collect()}
+        assert out[1] == ("nav menu\ncontent one\ncontent two", 2)
+        assert out[2] == ("a\n\nb\n", 2)  # both blanks kept, a+b deduped
+        assert out[3] == (None, 0)
+        assert out[4] == ("", 0)
+
+    def test_min_chars_shields_short_lines(self, spark):
+        from validatelite_spark.operators.lines import intra_doc_line_dedup
+        df = spark.createDataFrame(
+            [(1, "ab\nlong line here\nab\nlong line here")],
+            "doc_id long, text string")
+        out = intra_doc_line_dedup(df, min_chars=5).collect()[0]
+        assert out.text == "ab\nlong line here\nab"
+        assert out.lines_removed == 1
+
+    def test_arrow_column_parity(self, spark):
+        from validatelite_spark.operators.lines import intra_doc_line_dedup
+        df = self._df(spark)
+        a = sorted(map(tuple,
+                       intra_doc_line_dedup(df, arrow=True).collect()))
+        c = sorted(map(tuple,
+                       intra_doc_line_dedup(df, arrow=False).collect()))
+        assert a == c

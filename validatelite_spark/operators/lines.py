@@ -26,6 +26,7 @@ one at any partitioning/cluster size.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -245,3 +246,75 @@ def boilerplate_fail(col, params: dict) -> "F.Column":
                               lambda l: F.array_contains(arr, l)))
     frac = n_block / F.size(split_lines)
     return F.when(col.isNull(), F.lit(True)).otherwise(frac > max_frac)
+
+
+def intra_doc_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_chars: int = 1,
+    arrow: bool = True,
+) -> DataFrame:
+    """Strip REPEATED lines within each document (the intra-document
+    sibling of the corpus-wide C4 ``line_dedup`` above): keep the first
+    occurrence of every line of >= ``min_chars`` characters, keep ALL
+    shorter lines (blank separators, bullets) untouched. Output:
+    (key, text with survivors joined by newline in original order,
+    lines_removed). NULL text passes through NULL.
+
+    The navigation-chrome / template-footer failure mode: sites repeat
+    the same nav block every few paragraphs; corpus-wide line dedup
+    keeps ONE copy globally (the C4 rule), while this keeps one copy
+    PER DOCUMENT — the right scrub when the line is legitimate content
+    that a template happens to repeat inside the page.
+
+    Scale shape: embarrassingly parallel — one projection, no shuffle,
+    no state beyond a per-document seen-set. ``arrow=True`` is one
+    Arrow-batched UDF (O(lines) per doc, CLAUDE.md rule 4); False is
+    the pure-Column oracle anchor (index lambda + array_position —
+    O(lines^2) per doc, CodegenFallback, exact same semantics as the
+    DuckDB replay)."""
+    if arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("struct<text:string,removed:long>")
+        def dedup(s: pd.Series) -> pd.DataFrame:
+            texts, removed = [], []
+            for t in s:
+                if t is None:
+                    texts.append(None)
+                    removed.append(0)
+                    continue
+                seen: set[str] = set()
+                out = []
+                for ln in t.split("\n"):
+                    if len(ln) < min_chars:
+                        out.append(ln)
+                    elif ln not in seen:
+                        seen.add(ln)
+                        out.append(ln)
+                texts.append("\n".join(out))
+                removed.append(t.count("\n") + 1 - len(out))
+            return pd.DataFrame({"text": texts, "removed": removed})
+
+        res = dedup(F.col(text_col))
+        return df.select(F.col(key_col),
+                         res["text"].alias(text_col),
+                         res["removed"].alias("lines_removed"))
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(x) < min_chars)
+        | (F.array_position(lines, x) == i + 1))
+    # the scrubbed text gets a TEMP name first: aliasing it straight to
+    # text_col in the same select makes Spark resolve the sibling
+    # expression's array_position against the NEW (deduped) array —
+    # the self-referencing-alias hazard (removed counts went wrong)
+    return (df.select(
+        F.col(key_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, "\n")).alias("__dedup_text"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(lines) - F.size(kept))
+        .cast("long").alias("lines_removed"))
+        .withColumnRenamed("__dedup_text", text_col))
