@@ -1493,6 +1493,69 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_bloom_probe(spark, sf_dir):
+    # Bloom membership index (operators/bloom.py): filter built over
+    # the even-id half of the corpus, probed with ALL docs — even ids
+    # come back maybe_member (their own fingerprint), odd ids only on
+    # exact text dup or a false positive; both deterministic, the
+    # WHOLE bit table replays in DuckDB (md5 arithmetic)
+    from validatelite_spark.operators.bloom import bloom_build, bloom_probe
+    docs = _read(spark, sf_dir, "documents")
+    bloom = bloom_build(docs.filter("doc_id % 2 = 0"))
+    return bloom_probe(docs, bloom).orderBy("doc_id")
+
+
+def _q_bloom_stats(spark, sf_dir):
+    # filter health: set bits, fill ratio, estimated fp rate = fill^k
+    from validatelite_spark.operators.bloom import bloom_build, bloom_stats
+    docs = _read(spark, sf_dir, "documents")
+    return bloom_stats(bloom_build(docs.filter("doc_id % 2 = 0")))
+
+
+_BLOOM_BASE = """
+WITH fps AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE text IS NOT NULL
+), idxpos AS MATERIALIZED (
+  SELECT DISTINCT
+         ('0x' || substr(md5(fp || ':' || j), 1, 15))::BIGINT % 65536
+           AS pos
+  FROM fps, (SELECT unnest(range(3)) AS j)
+  WHERE doc_id % 2 = 0
+)
+"""
+
+_BLOOM_PROBE_ORACLE = _BLOOM_BASE + """
+, probepos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(fp || ':' || j), 1, 15))::BIGINT % 65536
+           AS pos
+  FROM fps, (SELECT unnest(range(3)) AS j)
+), hits AS (
+  SELECT p.doc_id, count(*) FILTER (WHERE i.pos IS NOT NULL) AS nhit
+  FROM probepos p LEFT JOIN idxpos i ON p.pos = i.pos
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, coalesce(h.nhit = 3, FALSE) AS maybe_member
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+_BLOOM_STATS_ORACLE = _BLOOM_BASE + """
+, blocks AS (
+  SELECT pos // 32 AS block,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM idxpos GROUP BY 1
+)
+SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS set_bits,
+       round(sum(bit_count(bits)) / 65536.0 + 1e-9, 6) AS fill_ratio,
+       round(pow(sum(bit_count(bits)) / 65536.0, 3) + 1e-9, 6)
+         AS est_fp_rate
+FROM blocks
+"""
+
+
 def _q_intra_doc_line_dedup(spark, sf_dir):
     # intra-document repeated-line strip (operators/lines.py): one
     # shuffle-free Arrow projection; first occurrence per line kept,
@@ -2816,6 +2879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "bloom_probe": _q_bloom_probe,
+        "bloom_stats": _q_bloom_stats,
         "intra_doc_line_dedup": _q_intra_doc_line_dedup,
         "split_summary": _q_split_summary,
         "split_leakage": _q_split_leakage,
@@ -3546,6 +3611,8 @@ FROM documents, bll b""",
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
+    out["bloom_probe"] = _BLOOM_PROBE_ORACLE
+    out["bloom_stats"] = _BLOOM_STATS_ORACLE
     out["intra_doc_line_dedup"] = _INTRA_LINE_ORACLE
     out["split_summary"] = _SPLIT_SUMMARY_ORACLE
     out["split_leakage"] = _SPLIT_LEAKAGE_ORACLE

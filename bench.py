@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "domain_filter",
     "normalize_text",
     # round 5
+    "bloom_probe",
     "intra_doc_line_dedup",
     "split_summary",
     "exact_substring_pairs",
