@@ -1493,6 +1493,57 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_embedding_decontaminate(spark, sf_dir):
+    # embedding-space eval decontamination (operators/similarity.py):
+    # third leg beside url_decontaminate + n-gram decontaminate —
+    # benchmark = vectors 0..19, broadcast cross product, anti-join
+    # survivors; catches paraphrases exact n-grams miss
+    from validatelite_spark.operators.similarity import (
+        embedding_decontaminate)
+    emb = _emb_double(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") < 20)
+    return (embedding_decontaminate(emb, bench, threshold=0.9)
+            .select("vec_id", "label").orderBy("vec_id"))
+
+
+def _q_embedding_decon_report(spark, sf_dir):
+    # report mode: (vec_id, max cosine vs any benchmark vector) for
+    # every contaminated row — the audit trail of the keep-mode drop
+    from validatelite_spark.operators.similarity import (
+        embedding_decontaminate)
+    emb = _emb_double(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") < 20)
+    return embedding_decontaminate(emb, bench, threshold=0.9,
+                                   mode="report")
+
+
+_EMB_DECON_BASE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+b AS (SELECT v FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT c.vec_id,
+         round(list_dot_product(c.v, b.v) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS score
+  FROM e c, b
+)
+"""
+
+_EMB_DECON_KEEP_ORACLE = _EMB_DECON_BASE + """
+SELECT vec_id, label FROM e
+WHERE vec_id NOT IN (SELECT DISTINCT vec_id FROM scored
+                     WHERE score >= 0.9)
+ORDER BY vec_id
+"""
+
+_EMB_DECON_REPORT_ORACLE = _EMB_DECON_BASE + """
+SELECT vec_id, max(score) AS max_score
+FROM scored WHERE score >= 0.9
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def _q_bloom_probe(spark, sf_dir):
     # Bloom membership index (operators/bloom.py): filter built over
     # the even-id half of the corpus, probed with ALL docs — even ids
@@ -2879,6 +2930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "embedding_decontaminate": _q_embedding_decontaminate,
+        "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
         "bloom_stats": _q_bloom_stats,
         "intra_doc_line_dedup": _q_intra_doc_line_dedup,
@@ -3611,6 +3664,8 @@ FROM documents, bll b""",
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
+    out["embedding_decontaminate"] = _EMB_DECON_KEEP_ORACLE
+    out["embedding_decon_report"] = _EMB_DECON_REPORT_ORACLE
     out["bloom_probe"] = _BLOOM_PROBE_ORACLE
     out["bloom_stats"] = _BLOOM_STATS_ORACLE
     out["intra_doc_line_dedup"] = _INTRA_LINE_ORACLE

@@ -209,3 +209,43 @@ class TestCentroidSimilarity:
             "label int, embedding array<float>")
         out = centroid_similarity(df).collect()
         assert len(out) == 1
+
+
+class TestEmbeddingDecontaminate:
+    def _dfs(self, spark):
+        # bench vec + a near-copy (cos ~0.9999), an orthogonal vec,
+        # and an anti-parallel vec
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0], 10),
+             (2, [0.999, 0.001, 0.0], 11),
+             (3, [0.0, 1.0, 0.0], 12),
+             (4, [-1.0, 0.0, 0.0], 13)],
+            "vec_id long, embedding array<double>, label int")
+        bench = corpus.filter("vec_id = 1")
+        return corpus, bench
+
+    def test_keep_drops_near_copies(self, spark):
+        from validatelite_spark.operators.similarity import (
+            embedding_decontaminate)
+        corpus, bench = self._dfs(spark)
+        kept = {r.vec_id for r in embedding_decontaminate(
+            corpus, bench, threshold=0.95).collect()}
+        assert kept == {3, 4}  # 1 self-matches, 2 is a paraphrase-dup
+
+    def test_report_scores(self, spark):
+        from validatelite_spark.operators.similarity import (
+            embedding_decontaminate)
+        corpus, bench = self._dfs(spark)
+        rep = {r.vec_id: r.max_score for r in embedding_decontaminate(
+            corpus, bench, threshold=0.95, mode="report").collect()}
+        assert rep[1] == 1.0
+        assert 0.999 < rep[2] <= 1.0
+        assert 3 not in rep and 4 not in rep
+
+    def test_bad_mode(self, spark):
+        from validatelite_spark.operators.similarity import (
+            embedding_decontaminate)
+        corpus, bench = self._dfs(spark)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            embedding_decontaminate(corpus, bench, mode="purge")

@@ -627,3 +627,53 @@ def centroid_similarity(
                     F.round(F.col("__dot")
                             / (F.sqrt("__na") * F.sqrt("__nb"))
                             + 1e-9, round_to).alias("cos")))
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "keep",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination — the third
+    decontamination leg beside the canonical-url anti-join
+    (``dedup.url_decontaminate``) and the n-gram overlap scrub
+    (``repetition.decontaminate``): drop every corpus row whose
+    embedding has cosine >= ``threshold`` to ANY benchmark vector
+    (paraphrased or re-rendered benchmark copies that share no exact
+    n-grams still land next to the original in embedding space).
+
+    ``mode='keep'`` returns the surviving corpus rows (all columns);
+    ``'report'`` returns (id, max_score) per contaminated row.
+
+    Scale shape: the benchmark side is SMALL BY CONTRACT (an eval set,
+    like the broadcast n-gram blocklist) — explicit ``F.broadcast``
+    makes the cross product map-side, norms are precomputed per vector
+    (never per pair), and the verdict re-enters the corpus as an
+    anti-join on id. For benchmark sets too large to broadcast, bucket
+    both sides through ``embedding_cosine_pairs``' LSH tables instead
+    and anti-join its candidate verdicts. Pure-Column arithmetic —
+    DuckDB replays the whole decision."""
+    if mode not in ("keep", "report"):
+        raise ValueError(f"mode must be keep|report, got {mode!r}")
+    b = (benchmark.select(F.col(vec_col).alias("__bv"))
+         .withColumn("__bn", _norm(F.col("__bv"))))
+    scored = (corpus
+              .select(F.col(id_col).alias("__cid"),
+                      F.col(vec_col).alias("__cv"))
+              .withColumn("__cn", _norm(F.col("__cv")))
+              .crossJoin(F.broadcast(b))
+              .withColumn("score",
+                          F.round(_dot(F.col("__cv"), F.col("__bv"))
+                                  / (F.col("__cn") * F.col("__bn")),
+                                  round_to))
+              .filter(F.col("score") >= threshold))
+    if mode == "report":
+        return (scored.groupBy(F.col("__cid").alias(id_col))
+                .agg(F.max("score").alias("max_score"))
+                .orderBy(id_col))
+    bad = scored.select(F.col("__cid").alias(id_col)).distinct()
+    return corpus.join(bad, id_col, "left_anti")
