@@ -1493,6 +1493,57 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_shard_assign(spark, sf_dir):
+    # token-balanced output shards (operators/shards.py): documents in
+    # deterministic md5 shuffle order, cut every 10k chars — the
+    # training-data delivery step; shard boundary is a pure function of
+    # the global prefix sum (two-phase, no single-task window)
+    from validatelite_spark.operators.shards import assign_shards
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (assign_shards(docs, 10_000, "n_chars", "doc_id")
+            .select("doc_id", "shard_id").orderBy("doc_id"))
+
+
+def _q_shard_manifest(spark, sf_dir):
+    # per-shard manifest: doc/token counts + order-independent 60-bit
+    # md5-sum checksum the consumer re-derives to verify delivery
+    from validatelite_spark.operators.shards import (
+        assign_shards, shard_manifest)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_manifest(
+        assign_shards(docs, 10_000, "n_chars", "doc_id"),
+        "n_chars", "doc_id")
+
+
+_SHARD_BASE = """
+WITH d AS (
+  SELECT doc_id, coalesce(n_chars, 0) AS tok,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT
+           AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, tok,
+         sum(tok) OVER (ORDER BY ord, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - tok AS pre
+  FROM d
+), a AS (
+  SELECT doc_id, tok, pre // 10000 AS shard_id FROM c
+)
+"""
+
+_SHARD_ASSIGN_ORACLE = _SHARD_BASE + """
+SELECT doc_id, shard_id FROM a ORDER BY doc_id
+"""
+
+_SHARD_MANIFEST_ORACLE = _SHARD_BASE + """
+SELECT shard_id, count(*) AS n_docs, sum(tok) AS n_tokens,
+       sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+         AS checksum
+FROM a GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def _q_embedding_decontaminate(spark, sf_dir):
     # embedding-space eval decontamination (operators/similarity.py):
     # third leg beside url_decontaminate + n-gram decontaminate —
@@ -2930,6 +2981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r4 #4).
     return {
         # ---- round 5 ----
+        "shard_assign": _q_shard_assign,
+        "shard_manifest": _q_shard_manifest,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
@@ -3664,6 +3717,8 @@ FROM documents, bll b""",
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
+    out["shard_assign"] = _SHARD_ASSIGN_ORACLE
+    out["shard_manifest"] = _SHARD_MANIFEST_ORACLE
     out["embedding_decontaminate"] = _EMB_DECON_KEEP_ORACLE
     out["embedding_decon_report"] = _EMB_DECON_REPORT_ORACLE
     out["bloom_probe"] = _BLOOM_PROBE_ORACLE
