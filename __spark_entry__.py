@@ -2934,6 +2934,20 @@ def _q_dedup_kept_corpus(spark, sf_dir):
     return kept.select("doc_id", "lang", "n_chars")
 
 
+def _q_dedup_best_corpus(spark, sf_dir):
+    # quality-priority keep-one (RefinedWeb convention): per near-dup
+    # cluster keep the LONGEST member (n_chars, tie -> min id) instead
+    # of the min-id one — dedup never discards the best copy. Winner =
+    # map-side min(struct(-score, key)) per group, no corpus window.
+    from validatelite_spark.operators.dedup import (
+        dedup_groups, keep_best_representatives, ngram_jaccard_pairs)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = keep_best_representatives(
+        docs, dedup_groups(pairs), "n_chars")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
 _CC_ORACLE = """
 WITH RECURSIVE pairs AS (
   SELECT id1, id2 FROM ({jaccard}) jq
@@ -2983,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round 5 ----
         "shard_assign": _q_shard_assign,
         "shard_manifest": _q_shard_manifest,
+        "dedup_best_corpus": _q_dedup_best_corpus,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
@@ -3252,6 +3267,21 @@ HAVING count(*) >= 1
               SELECT doc_id FROM (
                 {_CC_ORACLE.format(jaccard=_JACCARD_ORACLE)}
               ) cc WHERE cc.doc_id <> cc.group_id)""",
+        # same closure, quality-priority winner: rank members by
+        # (n_chars DESC, doc_id ASC), drop everyone ranked > 1
+        "dedup_best_corpus": f"""
+            SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (
+              SELECT doc_id FROM (
+                SELECT cc.doc_id,
+                       row_number() OVER (
+                         PARTITION BY cc.group_id
+                         ORDER BY coalesce(dd.n_chars,
+                                           '-infinity'::DOUBLE) DESC,
+                                  cc.doc_id) AS rn
+                FROM ({_CC_ORACLE.format(jaccard=_JACCARD_ORACLE)}) cc
+                JOIN documents dd ON dd.doc_id = cc.doc_id
+              ) r WHERE r.rn > 1)""",
         "asof_purchase_click": """
             SELECT p.event_id, p.user_id,
                    c.event_id AS click_event_id,

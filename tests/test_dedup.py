@@ -86,6 +86,42 @@ class TestDedupGroups:
         # {0,1,2} near-dups → keep 0; {3,4} → keep 3; others untouched
         assert ids == [0, 3, 5, 6, 7]
 
+    def test_keep_best_by_score(self, spark):
+        groups = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+            "doc_id long, group_id long")
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, 99.0), (3, 99.0),   # tie at 99 → min key 2
+             (7, None), (9, 5.0),               # NULL loses to scored
+             (42, 0.0)],                        # no group → kept
+            "doc_id long, score double")
+        kept = sorted(r.doc_id for r in dedup.keep_best_representatives(
+            df, groups, "score").collect())
+        assert kept == [2, 9, 42]
+
+    def test_keep_best_all_null_scores_falls_back_to_min_key(self, spark):
+        groups = spark.createDataFrame(
+            [(5, 4), (4, 4)], "doc_id long, group_id long")
+        df = spark.createDataFrame(
+            [(4, None), (5, None)], "doc_id long, score double")
+        kept = sorted(r.doc_id for r in dedup.keep_best_representatives(
+            df, groups, "score").collect())
+        assert kept == [4]
+
+    def test_keep_best_no_broadcast_over_threshold(self, spark):
+        groups = spark.createDataFrame(
+            [(1, 1), (2, 1)], "doc_id long, group_id long")
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id long, score double")
+        kept_b = dedup.keep_best_representatives(
+            df, groups, "score", broadcast=True)
+        kept_s = dedup.keep_best_representatives(
+            df, groups, "score", broadcast_threshold=0)
+        plan_s = kept_s._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan_s
+        assert (sorted(r.doc_id for r in kept_b.collect())
+                == sorted(r.doc_id for r in kept_s.collect()) == [2, 3])
+
 
 class TestExactDedup:
     def test_keeps_min_key_per_fingerprint(self, docs):

@@ -1050,3 +1050,47 @@ def keep_representatives(
             .filter(F.col("group_id").isNull()
                     | (F.col(key_col) == F.col("group_id")))
             .drop("group_id"))
+
+
+def keep_best_representatives(
+    df: DataFrame,
+    groups: DataFrame,
+    score_col: str,
+    key_col: str = "doc_id",
+    broadcast: bool | None = None,
+    broadcast_threshold: int = KEEP_BROADCAST_THRESHOLD,
+) -> DataFrame:
+    """Quality-priority keep-one: per near-dup group keep the member
+    with the HIGHEST ``score_col`` (tie → min key; NULL score sorts
+    last), plus every doc in no group.
+
+    ``keep_representatives`` keeps the min-id doc — deterministic but
+    quality-blind; the RefinedWeb/FineWeb convention keeps the longest
+    or highest-classifier-score member of each cluster so dedup never
+    discards the best copy. ``groups`` is ``dedup_groups`` output.
+
+    Scale shape: winner selection is a map-side-combinable
+    ``groupBy(group_id).agg(min(struct(-score, key)))`` over the
+    members-only join (never a window over the corpus); both joins key
+    on uniform ids. The winner table (≤ one row per group) re-enters
+    via the same size-gated broadcast as ``keep_representatives``."""
+    g = groups.withColumnRenamed("doc_id", key_col)
+    if broadcast is None:
+        broadcast = g.count() <= broadcast_threshold
+    g_side = F.broadcast(g) if broadcast else g.hint("merge")
+    # NULL score → -inf so a scored member always beats an unscored one
+    neg = -F.coalesce(F.col(score_col).cast("double"),
+                      F.lit(float("-inf")))
+    winners = (df.select(F.col(key_col), F.col(score_col))
+               .join(g_side, key_col)
+               .groupBy("group_id")
+               .agg(F.min(F.struct(neg.alias("n"),
+                                   F.col(key_col).alias("k")))
+                    .alias("__w"))
+               .select("group_id", F.col("__w.k").alias("__wk")))
+    w_side = F.broadcast(winners) if broadcast else winners.hint("merge")
+    return (df.join(g_side, key_col, "left")
+            .join(w_side, "group_id", "left")
+            .filter(F.col("group_id").isNull()
+                    | (F.col(key_col) == F.col("__wk")))
+            .drop("group_id", "__wk"))
