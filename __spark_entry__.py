@@ -1493,6 +1493,69 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_calibration_curve(spark, sf_dir):
+    # reliability curve (operators/evaluation.py): does quality_score
+    # predict the Gopher keep decision? per-bin confidence vs accuracy
+    # — ONE map-side agg over 10 groups, any corpus size
+    from validatelite_spark.functions.textquality import (
+        gopher_fail, quality_score)
+    from validatelite_spark.operators.evaluation import calibration_bins
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        quality_score(F.col("text")).alias("score"),
+        (~gopher_fail(F.col("text"))).cast("int").alias("y"))
+    return calibration_bins(scored, "score", "y")
+
+
+def _q_calibration_ece(spark, sf_dir):
+    # the scalar the threshold-tuning loop watches: Expected
+    # Calibration Error of quality_score vs the Gopher keep label
+    from validatelite_spark.functions.textquality import (
+        gopher_fail, quality_score)
+    from validatelite_spark.operators.evaluation import (
+        expected_calibration_error)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        quality_score(F.col("text")).alias("score"),
+        (~gopher_fail(F.col("text"))).cast("int").alias("y"))
+    return expected_calibration_error(scored, "score", "y")
+
+
+def _calib_base() -> str:
+    return f"""
+WITH s AS (
+  SELECT {_d_quality_score('text')} AS score,
+         (CASE WHEN NOT {_d_gopher_fail('text')} THEN 1
+               ELSE 0 END)::DOUBLE AS y
+  FROM documents
+), f AS (
+  SELECT least(floor(score * 10), 9)::INT AS bin, score, y
+  FROM s WHERE score IS NOT NULL
+)
+"""
+
+
+def _calib_curve_oracle() -> str:
+    return _calib_base() + """
+SELECT bin, count(*) AS n,
+       round(avg(score) + 1e-9, 6) AS confidence,
+       round(avg(y) + 1e-9, 6) AS accuracy
+FROM f GROUP BY bin ORDER BY bin
+"""
+
+
+def _calib_ece_oracle() -> str:
+    return _calib_base() + """
+, per AS (
+  SELECT bin, count(*) AS nb, avg(score) AS conf, avg(y) AS acc
+  FROM f GROUP BY bin
+)
+SELECT sum(nb) AS n,
+       round(sum(abs(acc - conf) * nb) / sum(nb) + 1e-9, 6) AS ece
+FROM per
+"""
+
+
 def _q_shard_assign(spark, sf_dir):
     # token-balanced output shards (operators/shards.py): documents in
     # deterministic md5 shuffle order, cut every 10k chars — the
@@ -2998,6 +3061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": _q_shard_assign,
         "shard_manifest": _q_shard_manifest,
         "dedup_best_corpus": _q_dedup_best_corpus,
+        "calibration_curve": _q_calibration_curve,
+        "calibration_ece": _q_calibration_ece,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
@@ -3747,6 +3812,8 @@ FROM documents, bll b""",
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
+    out["calibration_curve"] = _calib_curve_oracle()
+    out["calibration_ece"] = _calib_ece_oracle()
     out["shard_assign"] = _SHARD_ASSIGN_ORACLE
     out["shard_manifest"] = _SHARD_MANIFEST_ORACLE
     out["embedding_decontaminate"] = _EMB_DECON_KEEP_ORACLE

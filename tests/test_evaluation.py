@@ -61,3 +61,34 @@ class TestPairMetrics:
         # recall measured (1.0 here -- banding margin covers j=0.5)
         assert r["precision"] == 1.0
         assert r["recall"] == 1.0
+
+
+class TestCalibration:
+    def _df(self, spark):
+        # bin 2 (0.25): 4 rows, 1 positive -> acc .25 == conf (calibrated)
+        # bin 7 (0.75): 4 rows, 2 positive -> acc .50, conf .75 (off .25)
+        # plus a score-1.0 row (folds into bin 9) and a NULL row
+        rows = ([(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)]
+                + [(0.75, 1), (0.75, 1), (0.75, 0), (0.75, 0)]
+                + [(1.0, 1), (None, 1), (0.5, None)])
+        return spark.createDataFrame(rows, "score double, y int")
+
+    def test_bins(self, spark):
+        from validatelite_spark.operators.evaluation import (
+            calibration_bins)
+        got = {r.bin: (r.n, r.confidence, r.accuracy)
+               for r in calibration_bins(
+                   self._df(spark), "score", "y").collect()}
+        assert got[2] == (4, 0.25, 0.25)
+        assert got[7] == (4, 0.75, 0.5)
+        assert got[9] == (1, 1.0, 1.0)   # score 1.0 folds into top bin
+        assert set(got) == {2, 7, 9}     # NULL score/label excluded
+
+    def test_ece(self, spark):
+        from validatelite_spark.operators.evaluation import (
+            expected_calibration_error)
+        row = expected_calibration_error(
+            self._df(spark), "score", "y").collect()[0]
+        assert row.n == 9
+        # bins: |.25-.25|*4 + |.5-.75|*4 + |1-1|*1 over 9 rows
+        assert row.ece == round(1.0 / 9 + 1e-9, 6)

@@ -72,3 +72,63 @@ def pair_metrics(
     return counts.select(
         "tp", "fp", "fn",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability curve for a quality classifier: equal-width bins
+    over a [0, 1] score vs an observed binary label.
+
+    Per bin: ``(bin, n, confidence, accuracy)`` where confidence is the
+    mean score and accuracy the label rate — a well-calibrated
+    classifier has accuracy ≈ confidence in every bin, and the curve
+    tells you whether a keep-threshold of 0.7 actually keeps ~70%-good
+    documents. ``bin = least(floor(score * n_bins), n_bins - 1)`` (the
+    score 1.0 edge folds into the top bin). Rows with NULL score or
+    label are excluded (they carry no calibration evidence).
+
+    ONE map-side-combinable aggregate over n_bins groups — no window,
+    no collect; scales to any corpus size. Rounding follows the repo
+    +1e-9 convention so any engine replays it."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int").cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (df.filter(s.isNotNull() & y.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(s) + 1e-9, round_to).alias("confidence"),
+                 F.round(F.avg(y) + 1e-9, round_to).alias("accuracy"))
+            .orderBy("bin"))
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """One row ``(n, ece)``: the standard Expected Calibration Error,
+    sum over bins of (n_b / N) * |accuracy_b - confidence_b| — the
+    scalar a threshold-tuning loop watches. Same bin/NULL semantics as
+    ``calibration_bins``; the second aggregate runs over ≤ n_bins rows.
+
+    The per-bin means are NOT pre-rounded (rounding then weighting
+    compounds error); only the final scalar is rounded."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int").cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    per = (df.filter(s.isNotNull() & y.isNotNull())
+           .groupBy(b.alias("bin"))
+           .agg(F.count(F.lit(1)).alias("nb"),
+                F.avg(s).alias("conf"), F.avg(y).alias("acc")))
+    return per.agg(
+        F.sum("nb").alias("n"),
+        F.round(F.sum(F.abs(F.col("acc") - F.col("conf"))
+                      * F.col("nb")) / F.sum("nb") + 1e-9,
+                round_to).alias("ece"))
