@@ -1493,6 +1493,34 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    # tokenizer-prep coverage curve (operators/keywords.py): top-50
+    # terms with cumulative fraction of ALL corpus tokens — groupBy +
+    # TakeOrderedAndProject + a window over only the top-k rows
+    from validatelite_spark.operators.keywords import vocab_coverage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, top_k=50)
+
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH ex AS (
+  SELECT unnest({toks}) AS term FROM documents
+), tf AS (
+  SELECT term, count(*) AS n FROM ex WHERE term <> '' GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS tot FROM tf
+), top AS (
+  SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 50
+)
+SELECT row_number() OVER (ORDER BY n DESC, term) AS rank, term, n,
+       round(sum(n) OVER (ORDER BY n DESC, term
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) * 1.0 / tot + 1e-9, 6)
+         AS cum_fraction
+FROM top, tot
+""".replace("{toks}", _d_tokens("text"))
+
+
 def _q_calibration_curve(spark, sf_dir):
     # reliability curve (operators/evaluation.py): does quality_score
     # predict the Gopher keep decision? per-bin confidence vs accuracy
@@ -3063,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_corpus": _q_dedup_best_corpus,
         "calibration_curve": _q_calibration_curve,
         "calibration_ece": _q_calibration_ece,
+        "vocab_coverage": _q_vocab_coverage,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
@@ -3812,6 +3841,7 @@ FROM documents, bll b""",
     out["curation_funnel"] = _curation_funnel_oracle()
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
+    out["vocab_coverage"] = _VOCAB_COVERAGE_ORACLE
     out["calibration_curve"] = _calib_curve_oracle()
     out["calibration_ece"] = _calib_ece_oracle()
     out["shard_assign"] = _SHARD_ASSIGN_ORACLE

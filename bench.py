@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "domain_top_terms",
     "domain_pagerank",
     "profile_table",
+    "embedding_decontaminate",
+    "shard_assign",
+    "shard_manifest",
+    "dedup_best_corpus",
+    "calibration_curve",
 ]
 
 

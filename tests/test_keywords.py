@@ -92,3 +92,26 @@ class TestDomainTopTerms:
         out = [r["term"] for r in domain_top_terms(df, top_k=2).collect()]
         # aa and bb tie on tf and df -> identical tfidf -> term asc
         assert out == ["aa", "bb"]
+
+
+class TestVocabCoverage:
+    def test_curve(self, spark):
+        from validatelite_spark.operators.keywords import vocab_coverage
+        df = spark.createDataFrame(
+            [("a a a b b c",), ("a b x",), (None,), ("",)],
+            "text string")
+        # counts: a=4 b=3 x=1 c=1 (ties c<x alphabetically), total 9
+        got = [(r.rank, r.term, r.n, r.cum_fraction)
+               for r in vocab_coverage(df, top_k=3).collect()]
+        assert got == [
+            (1, "a", 4, round(4 / 9 + 1e-9, 6)),
+            (2, "b", 3, round(7 / 9 + 1e-9, 6)),
+            (3, "c", 1, round(8 / 9 + 1e-9, 6)),  # tail 'x' still in denom
+        ]
+
+    def test_full_coverage_reaches_one(self, spark):
+        from validatelite_spark.operators.keywords import vocab_coverage
+        df = spark.createDataFrame([("p q r",)], "text string")
+        rows = vocab_coverage(df).collect()
+        assert rows[-1].cum_fraction == 1.0
+        assert [r.rank for r in rows] == [1, 2, 3]

@@ -98,3 +98,49 @@ def domain_top_terms(
     return (scored.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= top_k)
             .select("domain", "term", "tf", "tfidf"))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Tokenizer-prep coverage curve: the corpus' ``top_k`` most
+    frequent terms ranked by (count DESC, term ASC) with each rank's
+    CUMULATIVE fraction of ALL corpus tokens —
+    ``(rank, term, n, cum_fraction)``. Answers "how many vocabulary
+    entries cover 95% of tokens", the sizing question every
+    tokenizer-training run starts with; the tail beyond ``top_k`` still
+    counts in the denominator, so cum_fraction is absolute, not
+    relative to the head.
+
+    Scale shape: term frequencies are ONE map-side-combinable
+    ``groupBy(term).count()`` over the exploded corpus (output is
+    vocab-sized, not corpus-sized); the total-token scalar stays
+    in-plan via a broadcast 1-row cross join (no driver collect, same
+    idiom as the tf·idf N above); the head is a
+    ``TakeOrderedAndProject`` top-k, and the only window runs over
+    those ≤ ``top_k`` rows — bounded by construction, never by corpus
+    or vocab size. Deterministic at any partitioning: the (count DESC,
+    term ASC) order is total."""
+    from pyspark.sql import Window
+
+    from validatelite_spark.functions.textquality import tokens
+
+    tf = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("term").count()
+          .withColumnRenamed("count", "n"))
+    total = tf.agg(F.sum("n").alias("__tot"))
+    order = [F.col("n").desc(), F.col("term").asc()]
+    top = tf.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (top.crossJoin(F.broadcast(total))
+            .select(F.row_number().over(Window.orderBy(*order))
+                    .alias("rank"),
+                    "term", "n",
+                    F.round(F.sum("n").over(w) / F.col("__tot")
+                            + F.lit(1e-9), round_to)
+                    .alias("cum_fraction")))
