@@ -14,6 +14,16 @@ Common-Crawl-shaped table (BASELINE.json input_hint — url/text/lang):
 
 Args: INPUT OUTPUT TOKEN_BUDGET [allowed_langs csv] [key_col]
       [lang_col] [token_col] [benchmark_urls_path] [benchmark_texts_path]
+      [shard_tokens]
+
+``shard_tokens`` (optional, ``-`` to skip): when set, the selected
+corpus is DELIVERED as token-balanced shards instead of a flat parquet
+dir — documents in deterministic md5 shuffle order (training order),
+cut every ``shard_tokens`` tokens (``operators/shards.assign_shards``),
+one file per ``OUTPUT/shard_id=N/``, plus a verifiable manifest
+(doc/token counts + order-independent checksum per shard) at
+``OUTPUT_manifest``. The manifest checksum is keyed on ``key_col``; with
+a synthesized key the consumer re-derives it as ``md5(url \\x01 text)``.
 
 ``benchmark_urls_path`` / ``benchmark_texts_path`` (optional): eval-set
 decontamination legs (VERDICT r4 #7) — a table with a ``url`` column
@@ -50,7 +60,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main() -> int:
     input_path, output_path = sys.argv[1], sys.argv[2]
     token_budget = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
-    langs = tuple((sys.argv[4] if len(sys.argv) > 4 else "en").split(","))
+    langs = tuple((sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] != "-"
+                   else "en").split(","))
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -66,7 +77,9 @@ def main() -> int:
     df = read_source(spark, input_path)
     n_in = df.count()
     synth_key = False
-    if len(sys.argv) > 5:
+    # every optional positional accepts '-' for "use the default", so
+    # later args (e.g. shard_tokens) are reachable without the earlier
+    if len(sys.argv) > 5 and sys.argv[5] != "-":
         key_col = sys.argv[5]
         if key_col not in df.columns:
             raise SystemExit(f"key_col {key_col!r} not in input columns "
@@ -84,8 +97,9 @@ def main() -> int:
         key_col, synth_key = "__doc_key", True
     else:
         key_col = df.columns[0]
-    lang_col = sys.argv[6] if len(sys.argv) > 6 else "lang"
-    token_col = (sys.argv[7] if len(sys.argv) > 7
+    lang_col = (sys.argv[6] if len(sys.argv) > 6 and sys.argv[6] != "-"
+                else "lang")
+    token_col = (sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] != "-"
                  else "n_chars" if "n_chars" in df.columns else "__tokens")
 
     if "url" in df.columns:
@@ -104,14 +118,40 @@ def main() -> int:
             bench_texts = bench_texts.withColumn(
                 key_col, F.md5(F.coalesce(F.col("text"), F.lit(""))))
 
+    shard_tokens = (int(sys.argv[10])
+                    if len(sys.argv) > 10 and sys.argv[10] != "-"
+                    else None)
+
     out = curate(spark, df, token_budget, text_col="text",
                  key_col=key_col, lang_col=lang_col,
                  token_col=token_col, allowed_langs=langs,
                  benchmark_urls=bench_urls, benchmark_texts=bench_texts)
-    out = out.drop("__tokens")
-    if synth_key:
-        out = out.drop("__doc_key")
-    out.write.mode("overwrite").parquet(output_path)
+    if shard_tokens:
+        from validatelite_spark.operators.shards import (
+            assign_shards, shard_manifest, write_shards)
+        assigned = assign_shards(out, shard_tokens, token_col, key_col)
+        # the delivery format keeps the key and token columns (renamed
+        # from their internal names) — the manifest is unverifiable
+        # without them
+        key_out, token_out = key_col, token_col
+        if token_col == "__tokens":
+            assigned = assigned.withColumnRenamed("__tokens", "n_tokens")
+            token_out = "n_tokens"
+        if synth_key:
+            assigned = assigned.withColumnRenamed("__doc_key", "doc_key")
+            key_out = "doc_key"
+        write_shards(assigned, output_path)
+        # manifest from the WRITTEN shards — verifies what's on disk
+        # and never recomputes the curation chain a second time
+        shard_manifest(spark.read.parquet(output_path),
+                       token_out, key_out).write \
+            .mode("overwrite").parquet(output_path.rstrip("/")
+                                       + "_manifest")
+    else:
+        out = out.drop("__tokens")
+        if synth_key:
+            out = out.drop("__doc_key")
+        out.write.mode("overwrite").parquet(output_path)
 
     kept = spark.read.parquet(output_path).count()
     print(f"[curate] kept {kept}/{n_in} docs (budget {token_budget} "

@@ -76,3 +76,41 @@ def test_exact_refetches_do_not_survive(spark, tmp_path):
     (n_in, n_kept_s, _, _) = con.sql(
         f"SELECT * FROM '{out}_summary/*.parquet'").fetchone()
     assert n_in == 900 and n_kept_s == n_kept
+
+
+@pytest.mark.slow
+def test_sharded_delivery(spark, tmp_path):
+    """shard_tokens arg: output is shard_id=N dirs + a manifest whose
+    per-shard doc/token counts and checksums match the written data."""
+    import glob
+    import hashlib
+
+    from validatelite_spark.pipeline.pages import synthesize_pages
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    synthesize_pages(spark, 600).select("url", "text", "lang") \
+        .write.parquet(inp)
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/curate_job.py", inp, out,
+         "50000", "en", "-", "lang", "-", "-", "-", "5000"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    con = duckdb.connect()
+    man = con.sql(
+        f"SELECT shard_id, n_docs, n_tokens, checksum "
+        f"FROM '{out}_manifest/*.parquet' ORDER BY shard_id").fetchall()
+    assert len(man) >= 2  # budget 50k tokens / 5k per shard
+    dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+    assert len(dirs) == len(man)
+    # re-derive each shard's manifest row from the delivered files
+    for (sid, n_docs, n_tokens, checksum) in man:
+        rows = con.sql(
+            f"SELECT doc_key, n_tokens FROM "
+            f"'{out}/shard_id={sid}/*.parquet'").fetchall()
+        assert len(rows) == n_docs
+        assert sum(t for _, t in rows) == n_tokens
+        assert sum(int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+                   for k, _ in rows) == int(checksum)
