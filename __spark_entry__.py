@@ -1493,6 +1493,17 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_dedup_census(spark, sf_dir):
+    # cluster-size histogram over the connected components — the
+    # duplication census a curation run reports (pairs vs template
+    # farms); two tiny aggs over the cluster table
+    from validatelite_spark.operators.dedup import (
+        dedup_census, dedup_groups, ngram_jaccard_pairs)
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_census(dedup_groups(
+        ngram_jaccard_pairs(docs, threshold=0.5)))
+
+
 def _q_vocab_coverage(spark, sf_dir):
     # tokenizer-prep coverage curve (operators/keywords.py): top-50
     # terms with cumulative fraction of ALL corpus tokens — groupBy +
@@ -3092,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_curve": _q_calibration_curve,
         "calibration_ece": _q_calibration_ece,
         "vocab_coverage": _q_vocab_coverage,
+        "dedup_census": _q_dedup_census,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
@@ -3842,6 +3854,15 @@ FROM documents, bll b""",
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
     out["vocab_coverage"] = _VOCAB_COVERAGE_ORACLE
+    out["dedup_census"] = f"""
+        WITH s AS (
+          SELECT group_id, count(*) AS cluster_size
+          FROM ({_CC_ORACLE.format(jaccard=_JACCARD_ORACLE)}) cc
+          GROUP BY group_id
+        )
+        SELECT cluster_size, count(*) AS n_clusters,
+               cluster_size * count(*) AS n_docs
+        FROM s GROUP BY cluster_size ORDER BY cluster_size"""
     out["calibration_curve"] = _calib_curve_oracle()
     out["calibration_ece"] = _calib_ece_oracle()
     out["shard_assign"] = _SHARD_ASSIGN_ORACLE

@@ -599,3 +599,14 @@ class TestContainmentPairs:
                for r in ngram_containment_pairs(df, threshold=0.4)
                .collect()}
         assert got == want and want  # non-empty reference
+
+
+class TestDedupCensus:
+    def test_histogram(self, spark):
+        # components: {1,2,3} size 3, {7,9} and {20,21} size 2
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (9, 7), (20, 21)], "id1 long, id2 long")
+        got = [(r.cluster_size, r.n_clusters, r.n_docs)
+               for r in dedup.dedup_census(
+                   dedup.dedup_groups(pairs)).collect()]
+        assert got == [(2, 2, 4), (3, 1, 3)]

@@ -1094,3 +1094,26 @@ def keep_best_representatives(
             .filter(F.col("group_id").isNull()
                     | (F.col(key_col) == F.col("__wk")))
             .drop("group_id", "__wk"))
+
+
+def dedup_census(groups: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cluster-size histogram over ``dedup_groups`` output:
+    ``(cluster_size, n_clusters, n_docs)``, ascending by size.
+
+    The number a curation report leads with — how much of the corpus is
+    duplicated, and in what SHAPE: many small pairs (organic near-dups)
+    vs a few giant clusters (template/spam farms — exactly the
+    populations the LSH ``bucket_cap`` star-edge path exists for, see
+    DEFAULT_BUCKET_CAP). Docs with no near-dup never appear in
+    ``groups``; add them as size-1 clusters corpus-side if needed.
+
+    Two map-side-combinable aggregates, the second over the cluster
+    table (≤ one row per cluster) — no window, no collect."""
+    sizes = (groups.groupBy("group_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .alias("n_docs"))
+            .orderBy("cluster_size"))
