@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "shard_manifest",
     "dedup_best_corpus",
     "calibration_curve",
+    "vocab_coverage",
+    "dedup_census",
 ]
 
 
