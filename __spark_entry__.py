@@ -1493,6 +1493,35 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_soft_sample(spark, sf_dir):
+    # soft quality filtering (operators/sampling.py): keep each doc
+    # with probability = its quality score (deterministic md5 bucket)
+    # — the CCNet/RedPajama-style alternative to a hard threshold;
+    # row-local, no shuffle, exact row set replayed by the oracle
+    from validatelite_spark.functions.textquality import quality_score
+    from validatelite_spark.operators.sampling import (
+        score_weighted_sample)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.withColumn("score", quality_score(F.col("text")))
+    return (score_weighted_sample(scored, "score", "doc_id", seed=7)
+            .select("doc_id", "lang", "score").orderBy("doc_id"))
+
+
+def _soft_sample_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, {_d_quality_score('text')} AS score
+  FROM documents
+)
+SELECT doc_id, lang, score FROM s
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                           1, 8)) AS BIGINT) % 1000000
+      < CAST(round(least(greatest(round(score * 1.0 + 1e-9, 6), 0.0),
+                         1.0) * 1000000) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
 def _q_dedup_census(spark, sf_dir):
     # cluster-size histogram over the connected components — the
     # duplication census a curation run reports (pairs vs template
@@ -3104,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": _q_calibration_ece,
         "vocab_coverage": _q_vocab_coverage,
         "dedup_census": _q_dedup_census,
+        "soft_sample": _q_soft_sample,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
@@ -3854,6 +3884,7 @@ FROM documents, bll b""",
     out["winnow_pairs"] = _WINNOW_ORACLE
     out["containment_pairs"] = _CONTAINMENT_ORACLE
     out["vocab_coverage"] = _VOCAB_COVERAGE_ORACLE
+    out["soft_sample"] = _soft_sample_oracle()
     out["dedup_census"] = f"""
         WITH s AS (
           SELECT group_id, count(*) AS cluster_size

@@ -464,3 +464,44 @@ class TestScoreBuckets:
             score_buckets(df, "v", "g", cuts=(0.5,), labels=("x",))
         with _pt.raises(ValueError):
             score_buckets(df, "v", "g", cuts=(0.7, 0.3))
+
+
+class TestScoreWeightedSample:
+    def test_probability_proportional_to_score(self, spark):
+        from validatelite_spark.operators.sampling import (
+            score_weighted_sample)
+        rows = [(i, 0.0 if i % 3 == 0 else 1.0 if i % 3 == 1 else 0.5)
+                for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, score double")
+        kept = score_weighted_sample(df, "score", "doc_id").collect()
+        by = {0.0: 0, 0.5: 0, 1.0: 0}
+        for r in kept:
+            by[r.score] += 1
+        assert by[0.0] == 0           # zero score never kept
+        assert by[1.0] == 1000        # full score always kept
+        assert 400 < by[0.5] < 600    # ~half of the 1000 mid docs
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from validatelite_spark.operators.sampling import (
+            score_weighted_sample)
+        rows = [(i, (i % 10) / 10.0) for i in range(500)]
+        a = spark.createDataFrame(rows, "doc_id long, score double")
+        one = {r.doc_id for r in score_weighted_sample(
+            a, "score", "doc_id").collect()}
+        two = {r.doc_id for r in score_weighted_sample(
+            a.repartition(13), "score", "doc_id").collect()}
+        assert one == two
+
+    def test_null_score_dropped_and_scale(self, spark):
+        from validatelite_spark.operators.sampling import (
+            score_weighted_sample)
+        df = spark.createDataFrame(
+            [(1, None), (2, 2.0), (3, 0.4)],
+            "doc_id long, score double")
+        # scale clamps: score 2.0 -> p=1 always kept; null -> dropped
+        kept = {r.doc_id for r in score_weighted_sample(
+            df, "score", "doc_id").collect()}
+        assert 2 in kept and 1 not in kept
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            score_weighted_sample(df, "score", "doc_id", scale=-1)

@@ -438,3 +438,38 @@ def cap_per_group(
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n)
             .drop("__rn"))
+
+
+def score_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    seed: int = 42,
+    scale: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Soft quality filtering: keep each doc with probability
+    ``clamp(score * scale, 0, 1)`` — deterministically, via the same
+    md5 hash-bucket contract as ``hash_sample`` (keep iff
+    ``bucket < round(clamped_score * 1e6)``).
+
+    A hard threshold (CLASSIFIER rule / ``quantile_filter``) discards
+    every mid-quality doc and keeps every just-above-threshold one;
+    sampling proportional to the classifier score keeps the corpus
+    quality-weighted while retaining diversity from the middle of the
+    distribution (the CCNet/RedPajama-style soft alternative). NULL
+    scores sample at probability 0 (dropped). ``scale`` rebalances the
+    expected keep rate without retraining the scorer.
+
+    The decision is a pure row-local function of (key, seed, score) —
+    no shuffle, stable under repartitioning/joins/re-runs, and the
+    exact row set replays in any engine with md5. The score is rounded
+    to ``round_to`` before thresholding so engines that disagree in the
+    last ulp still pick identical rows."""
+    if scale < 0:
+        raise ValueError(f"scale must be >= 0, got {scale}")
+    p = F.round(F.col(score_col).cast("double") * F.lit(float(scale))
+                + F.lit(1e-9), round_to)
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    thr = F.round(p * _DENOM).cast("long")
+    return df.filter(_hash_bucket(key_col, seed) < thr)
