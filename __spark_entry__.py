@@ -1493,6 +1493,38 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_contamination_provenance(spark, sf_dir):
+    # leak audit trail (operators/repetition.py): which benchmark doc
+    # each contaminated corpus doc shares word 4-grams with — the
+    # follow-up to decontaminate's yes/no verdict
+    from validatelite_spark.operators.repetition import (
+        contamination_provenance)
+    df = _read(spark, sf_dir, "documents")
+    is_bench = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                == "0")
+    return (contamination_provenance(
+        df.filter(~is_bench), df.filter(is_bench), "text", "doc_id", n=4)
+        .orderBy("doc_id", "bench_id"))
+
+
+_PROVENANCE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         substr(md5(cast(doc_id AS varchar)), 1, 1) = '0' AS is_bench,
+         list_distinct(list_transform(range(1, len({toks}) - 2),
+             i -> array_to_string({toks}[i:i+3], ' '))) AS sh
+  FROM documents WHERE len({toks}) >= 4
+), ex AS (
+  SELECT doc_id, is_bench, unnest(sh) AS s FROM t
+)
+SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS hit_ngrams
+FROM ex c JOIN ex b USING (s)
+WHERE NOT c.is_bench AND b.is_bench
+GROUP BY 1, 2 HAVING count(*) >= 1
+ORDER BY 1, 2
+""".replace("{toks}", _d_tokens("text"))
+
+
 def _q_soft_sample(spark, sf_dir):
     # soft quality filtering (operators/sampling.py): keep each doc
     # with probability = its quality score (deterministic md5 bucket)
@@ -3134,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "dedup_census": _q_dedup_census,
         "soft_sample": _q_soft_sample,
+        "contamination_provenance": _q_contamination_provenance,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
@@ -3885,6 +3918,7 @@ FROM documents, bll b""",
     out["containment_pairs"] = _CONTAINMENT_ORACLE
     out["vocab_coverage"] = _VOCAB_COVERAGE_ORACLE
     out["soft_sample"] = _soft_sample_oracle()
+    out["contamination_provenance"] = _PROVENANCE_ORACLE
     out["dedup_census"] = f"""
         WITH s AS (
           SELECT group_id, count(*) AS cluster_size

@@ -139,3 +139,37 @@ def test_top_ngrams_boilerplate_mining(spark):
     plan_df = top_ngrams(df, "text", "doc_id", n=3, k=3)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+class TestContaminationProvenance:
+    def test_pairs_and_counts(self, spark):
+        from validatelite_spark.operators.repetition import (
+            contamination_provenance)
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon"),
+             (200, "one two three four five six")],
+            "doc_id long, text string")
+        docs = spark.createDataFrame(
+            # doc 1 copies bench 100's 5-gram span (shares 2 distinct
+            # 4-grams); doc 2 shares one 4-gram with bench 200;
+            # doc 3 clean
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "zero one two three four nope nope nope"),
+             (3, "totally unrelated words with no overlap here")],
+            "doc_id long, text string")
+        got = {(r.doc_id, r.bench_id): r.hit_ngrams
+               for r in contamination_provenance(
+                   docs, bench, n=4).collect()}
+        assert got == {(1, 100): 2, (2, 200): 1}
+
+    def test_min_hits(self, spark):
+        from validatelite_spark.operators.repetition import (
+            contamination_provenance)
+        bench = spark.createDataFrame(
+            [(9, "a b c d e")], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "a b c d x")], "doc_id long, text string")
+        assert contamination_provenance(
+            docs, bench, n=4, min_hits=2).count() == 0
+        assert contamination_provenance(
+            docs, bench, n=4, min_hits=1).count() == 1

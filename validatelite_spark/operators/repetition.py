@@ -281,3 +281,59 @@ def contaminated_docs(
                     + F.lit(1e-9), 6).alias("overlap_frac"),
         )
     )
+
+
+def contamination_provenance(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    arrow: bool = True,
+    broadcast: bool | None = None,
+    broadcast_threshold: int = BROADCAST_NGRAM_THRESHOLD,
+) -> DataFrame:
+    """Which benchmark item leaked into which corpus doc:
+    ``(doc_id, bench_id, hit_ngrams)`` — distinct word ``n``-grams
+    shared per (corpus doc, benchmark doc) pair, ≥ ``min_hits``.
+
+    ``contaminated_docs`` answers "is this doc contaminated";
+    this answers the audit's follow-up — WHICH eval item, so a leak can
+    be traced to its source (same contract as
+    ``similarity.embedding_decontaminate(mode='report')``, exact
+    n-grams instead of embeddings).
+
+    Scale shape: same size-gated benchmark side as ``contaminated_docs``
+    but keyed (bench_id, shingle) instead of a distinct shingle set —
+    the join fan-out per shingle is (corpus docs containing it) ×
+    (benchmark docs containing it). A benchmark is an EVAL SUITE by
+    contract (thousands of items), so the bench-side multiplicity is
+    bounded; if a shingle is boilerplate across the whole benchmark,
+    the pair table bounds at |contaminated docs| × |bench| — run
+    ``boilerplate_strip``/``intra_doc_line_dedup`` upstream or raise
+    ``n`` when the benchmark itself carries template text. The heavy
+    aggregate groups on (doc, bench) pairs — map-side combinable,
+    never a window."""
+    from validatelite_spark.operators.dedup import _shingle_table
+
+    bcol = bench_text_col or text_col
+    bid = bench_id_col or id_col
+    b_tab = (_shingle_table(benchmark, bcol, bid, n, arrow=arrow)
+             .select(F.col("k").alias("__bid"),
+                     F.explode("sh").alias("s"))
+             .distinct())
+    if broadcast is None:
+        broadcast = b_tab.count() <= broadcast_threshold
+    bench_side = F.broadcast(b_tab) if broadcast else b_tab.hint("merge")
+    ex = (_shingle_table(docs, text_col, id_col, n, arrow=arrow)
+          .select("k", F.explode("sh").alias("s")))
+    return (ex.join(bench_side, "s")
+            .groupBy("k", "__bid")
+            .agg(F.count(F.lit(1)).alias("hit_ngrams"))
+            .filter(F.col("hit_ngrams") >= min_hits)
+            .select(F.col("k").alias(id_col),
+                    F.col("__bid").alias("bench_id"),
+                    "hit_ngrams"))
