@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "calibration_curve",
     "vocab_coverage",
     "dedup_census",
+    "soft_sample",
+    "contamination_provenance",
 ]
 
 
