@@ -1493,6 +1493,58 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """.replace("{toks}", _d_tokens("text"))
 
 
+def _q_host_edges(spark, sf_dir):
+    # crawl -> graph input (operators/linkgraph.py): extract outlinks
+    # from page html (pure-Column regex tier) and aggregate host-level
+    # edges — the table pagerank/domain authority consumes. html is
+    # fabricated deterministically from the documents table so the
+    # oracle replays the identical bytes.
+    from validatelite_spark.operators.linkgraph import host_edges
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pages = docs.select(
+        F.concat(F.lit("https://src-"), F.pmod(i, F.lit(5)),
+                 F.lit(".example.net/d/"), i).alias("url"),
+        F.concat(
+            F.lit('<p>'), F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><a href="https://site-'), F.pmod(i, F.lit(7)),
+            F.lit('.example.com/p/'), i,
+            F.lit('">x</a><a class="m" href="HTTPS://site-'),
+            F.pmod(i + 1, F.lit(7)),
+            F.lit('.EXAMPLE.com:8443/q/'), i,
+            F.lit('">y</a><a href="/rel">r</a>')).alias("html"))
+    return host_edges(pages).orderBy("src", "dst")
+
+
+_HOST_EDGES_ORACLE = r"""
+WITH pages AS (
+  SELECT 'https://src-' || (doc_id % 5) || '.example.net/d/' || doc_id
+           AS url,
+         '<p>' || coalesce(text, '') || '</p><a href="https://site-'
+           || (doc_id % 7) || '.example.com/p/' || doc_id
+           || '">x</a><a class="m" href="HTTPS://site-'
+           || ((doc_id + 1) % 7) || '.EXAMPLE.com:8443/q/' || doc_id
+           || '">y</a><a href="/rel">r</a>' AS html
+  FROM documents
+), links AS (
+  SELECT url, unnest(regexp_extract_all(html,
+             '<a\s[^>]*href="([^"]*)"', 1)) AS link
+  FROM pages
+), hosts AS (
+  SELECT lower(regexp_replace(regexp_replace(
+           regexp_extract(url, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1),
+           '^[^@]*@', ''), ':[0-9]+$', '')) AS src,
+         lower(regexp_replace(regexp_replace(
+           regexp_extract(link, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1),
+           '^[^@]*@', ''), ':[0-9]+$', '')) AS dst
+  FROM links
+)
+SELECT src, dst, count(*) AS n_links
+FROM hosts WHERE src <> '' AND dst <> '' AND src <> dst
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _q_contamination_provenance(spark, sf_dir):
     # leak audit trail (operators/repetition.py): which benchmark doc
     # each contaminated corpus doc shares word 4-grams with — the
@@ -3167,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_census": _q_dedup_census,
         "soft_sample": _q_soft_sample,
         "contamination_provenance": _q_contamination_provenance,
+        "host_edges": _q_host_edges,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "embedding_decon_report": _q_embedding_decon_report,
         "bloom_probe": _q_bloom_probe,
@@ -3919,6 +3972,7 @@ FROM documents, bll b""",
     out["vocab_coverage"] = _VOCAB_COVERAGE_ORACLE
     out["soft_sample"] = _soft_sample_oracle()
     out["contamination_provenance"] = _PROVENANCE_ORACLE
+    out["host_edges"] = _HOST_EDGES_ORACLE
     out["dedup_census"] = f"""
         WITH s AS (
           SELECT group_id, count(*) AS cluster_size

@@ -82,3 +82,51 @@ class TestSynthHostEdges:
         want = sorted((doms[i], doms[(i * 7 + j) % 5])
                       for i in range(5) for j in (1, 2, 3))
         assert got == want
+
+
+class TestHostEdges:
+    def test_extraction_and_aggregation(self, spark):
+        from validatelite_spark.operators.linkgraph import host_edges
+        rows = [
+            ("https://a.com/p1",
+             '<p>x</p><a href="https://b.com/x">t</a>'
+             '<a class="z" href="https://b.com/y">u</a>'
+             '<a href="https://a.com/self">self</a>'
+             '<a href="/relative">r</a>'),
+            ("https://a.com/p2", '<a href="HTTP://B.com:8080/z">c</a>'),
+            ("https://c.org/", "<p>no links at all</p>"),
+            (None, '<a href="https://b.com/q">orphan</a>'),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        got = {(r.src, r.dst): r.n_links
+               for r in host_edges(df).collect()}
+        # a.com -> b.com counted 3x (2 from p1, 1 port-stripped/cased
+        # from p2); self and relative links dropped; null url dropped
+        assert got == {("a.com", "b.com"): 3}
+
+    def test_binary_html_and_self_kept(self, spark):
+        from validatelite_spark.operators.linkgraph import host_edges
+        df = spark.createDataFrame(
+            [("https://a.com/", bytearray(
+                b'<a href="https://a.com/x">s</a>'
+                b'<a href="https://d.net/">d</a>'))],
+            "url string, html binary")
+        got = {(r.src, r.dst): r.n_links
+               for r in host_edges(df, drop_self=False).collect()}
+        assert got == {("a.com", "a.com"): 1, ("a.com", "d.net"): 1}
+
+    def test_feeds_pagerank(self, spark):
+        from validatelite_spark.operators.linkgraph import (
+            host_edges, pagerank)
+        df = spark.createDataFrame(
+            [("https://a.com/", '<a href="https://b.com/">x</a>'),
+             ("https://b.com/", '<a href="https://a.com/">y</a>'),
+             ("https://c.org/", '<a href="https://a.com/">z</a>')],
+            "url string, html string")
+        ranks = {r.node: r.rank for r in pagerank(
+            host_edges(df), iters=8).collect()}
+        assert set(ranks) == {"a.com", "b.com", "c.org"}
+        # c has no inlinks -> floor rank; the a<->b cycle holds the
+        # rest (their mutual order still oscillates at finite iters)
+        assert min(ranks["a.com"], ranks["b.com"]) > ranks["c.org"]
+        assert abs(sum(ranks.values()) - 1.0) < 1e-4

@@ -120,3 +120,28 @@ def extract_text(col: Column, empty_as_null: bool = True) -> Column:
             dtype="object")
 
     return ex(col)
+
+
+def extract_links(col: Column) -> Column:
+    """All ``<a href="...">`` targets (double-quoted form) of an html
+    STRING column, in document order — pure-Column
+    ``regexp_extract_all``, engine-portable (DuckDB: same call).
+
+    Contract is deliberately the crawler's 99% case: double-quoted
+    href on an ``<a>`` tag, any attribute order before ``href``. The
+    long tail (single quotes, unquoted, base-href resolution,
+    javascript:) belongs to a real html parser — at that point use the
+    Arrow extraction UDF (``extract_text``'s tier), not a wider regex.
+    NULL html → NULL; no links → empty array."""
+    return F.regexp_extract_all(col, F.lit(r'<a\s[^>]*href="([^"]*)"'), 1)
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of an absolute http(s) url Column (ports and
+    userinfo stripped); NULL for relative/other schemes. Mirrors the
+    canonicalizer's host handling (functions/urls.py) but returns the
+    bare host for graph keys."""
+    h = F.regexp_extract(col, r"^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1)
+    h = F.lower(F.regexp_replace(F.regexp_replace(h, r"^[^@]*@", ""),
+                                 r":\d+$", ""))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
