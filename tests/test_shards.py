@@ -116,3 +116,36 @@ class TestWriteShards:
         back = spark.read.parquet(out)
         assert back.count() == 60
         assert {r.doc_id for r in back.collect()} == set(range(60))
+
+
+class TestKnownBoundsPath:
+    def test_no_stats_scan_and_identical_output(self, spark):
+        from pyspark.sql import functions as F
+
+        from validatelite_spark.operators.sampling import prefix_sums
+        rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, tok long")
+        # known-bounds path: no min/max aggregate in the plan
+        a = assign_shards(df, 300, "tok", "doc_id")
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert "partial_max" not in plan
+        assert {(r.doc_id, r.shard_id) for r in a.collect()} \
+            == set(_expected_shards(rows, 300).items())
+        # prefix_sums: bounded vs measured bucketing agree exactly
+        base = df.withColumn("__g", F.lit(0))
+        m = prefix_sums(base, "tok", "__g", order_col="doc_id",
+                        key_col="doc_id")
+        k = prefix_sums(base, "tok", "__g", order_col="doc_id",
+                        key_col="doc_id", order_bounds=(0, 200))
+        assert ({(r["doc_id"], r["__pre"]) for r in m.collect()}
+                == {(r["doc_id"], r["__pre"]) for r in k.collect()})
+
+    def test_bad_bounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from validatelite_spark.operators.sampling import prefix_sums
+        df = spark.createDataFrame([(1, 1)], "doc_id long, tok long") \
+            .withColumn("__g", F.lit(0))
+        with pytest.raises(ValueError):
+            prefix_sums(df, "tok", "__g", order_col="doc_id",
+                        key_col="doc_id", order_bounds=(5, 5))

@@ -73,6 +73,7 @@ def prefix_sums(
     key_col: str = None,
     n_buckets: int = 64,
     out_col: str = "__pre",
+    order_bounds: tuple | None = None,
 ) -> DataFrame:
     """Scalable per-group running totals: every input column plus
     ``out_col`` = the sum of ``token_col`` over all rows of the same
@@ -113,21 +114,39 @@ def prefix_sums(
     # collide with a real key equal to the sentinel), and NULL order
     # values sort FIRST (Spark ASC NULLS FIRST) — they get the reserved
     # bucket -1.
-    # phase 0: per-group order_col range (tiny) → broadcast back
-    stats = (df.groupBy(F.col(by).alias("__gk"))
-             .agg(F.min(order_col).cast("double").alias("__lo"),
-                  F.max(order_col).cast("double").alias("__hi")))
-    span = F.col("__hi") - F.col("__lo")
-    bucket = (
-        F.when(F.col(order_col).isNull(), F.lit(-1))
-        .when(span <= 0, F.lit(0))
-        .otherwise(F.least(
-            F.floor((F.col(order_col).cast("double") - F.col("__lo"))
-                    / span * n_buckets).cast("int"),
-            F.lit(n_buckets - 1))))
-    b = (df.join(F.broadcast(stats),
-                 F.col(by).eqNullSafe(F.col("__gk")))
-         .withColumn("__bkt", bucket).drop("__gk", "__lo", "__hi"))
+    # phase 0: per-group order_col range (tiny) → broadcast back.
+    # ``order_bounds=(lo, hi)`` skips this extra full scan when the
+    # caller KNOWS the range (e.g. ``shards.assign_shards`` generated
+    # the order itself as a 60-bit hash) — any monotone bucketing gives
+    # identical prefix sums, only bucket balance depends on the bounds,
+    # so known-uniform bounds lose nothing and save a corpus pass.
+    if order_bounds is not None:
+        lo, hi = float(order_bounds[0]), float(order_bounds[1])
+        if not hi > lo:
+            raise ValueError(f"order_bounds must satisfy hi > lo, "
+                             f"got {order_bounds}")
+        bucket = (
+            F.when(F.col(order_col).isNull(), F.lit(-1))
+            .otherwise(F.greatest(F.least(
+                F.floor((F.col(order_col).cast("double") - F.lit(lo))
+                        / F.lit(hi - lo) * n_buckets).cast("int"),
+                F.lit(n_buckets - 1)), F.lit(0))))
+        b = df.withColumn("__bkt", bucket)
+    else:
+        stats = (df.groupBy(F.col(by).alias("__gk"))
+                 .agg(F.min(order_col).cast("double").alias("__lo"),
+                      F.max(order_col).cast("double").alias("__hi")))
+        span = F.col("__hi") - F.col("__lo")
+        bucket = (
+            F.when(F.col(order_col).isNull(), F.lit(-1))
+            .when(span <= 0, F.lit(0))
+            .otherwise(F.least(
+                F.floor((F.col(order_col).cast("double") - F.col("__lo"))
+                        / span * n_buckets).cast("int"),
+                F.lit(n_buckets - 1))))
+        b = (df.join(F.broadcast(stats),
+                     F.col(by).eqNullSafe(F.col("__gk")))
+             .withColumn("__bkt", bucket).drop("__gk", "__lo", "__hi"))
 
     # phase 1: per-(group, bucket) token sums → cumulative offsets.
     # bsums has ≤ |groups| × n_buckets rows, so this window is trivial.

@@ -81,15 +81,20 @@ def assign_shards(
     if target_tokens <= 0:
         raise ValueError(f"target_tokens must be > 0, got {target_tokens}")
     ordc = order_col
+    bounds = None
     base = df.withColumn(_TOK, F.coalesce(
         F.col(token_col).cast("long"), F.lit(0)))
     if ordc is None:
         ordc = _ORD
         base = base.withColumn(_ORD, shuffle_order(key_col, seed))
+        # the generated order is a uniform 60-bit hash: its range is
+        # KNOWN, so prefix_sums skips the min/max corpus pass entirely
+        # (one fewer full scan — material at 100 TB)
+        bounds = (0.0, float(1 << 60))
     pre = prefix_sums(
         base.withColumn(_GRP, F.lit(0)), _TOK, _GRP,
         order_col=ordc, key_col=key_col, n_buckets=n_buckets,
-        out_col="__pre")
+        out_col="__pre", order_bounds=bounds)
     out = (pre.withColumn(
         out_col,
         F.floor(F.col("__pre") / F.lit(target_tokens)).cast("long"))
