@@ -1747,6 +1747,44 @@ WITH d AS (
 )
 """
 
+def _q_shard_verify(spark, sf_dir):
+    # consumer-side delivery check (operators/shards.py): recompute
+    # per-shard counts+checksum from delivered rows vs the manifest —
+    # here with docs 0-2 "lost in transit", so their shards flag ok=false
+    from validatelite_spark.operators.shards import (
+        assign_shards, shard_manifest, verify_shards)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = assign_shards(docs, 10_000, "n_chars", "doc_id")
+    man = shard_manifest(assigned, "n_chars", "doc_id")
+    delivered = assigned.filter(F.col("doc_id") >= 3)
+    return verify_shards(delivered, man, "n_chars", "doc_id")
+
+
+_SHARD_VERIFY_ORACLE = _SHARD_BASE + """
+, h AS (
+  SELECT a.*, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+           AS hh
+  FROM a
+), man AS (
+  SELECT shard_id, count(*) AS m_docs, sum(tok) AS m_tokens,
+         sum(hh) AS m_checksum
+  FROM h GROUP BY shard_id
+), got AS (
+  SELECT shard_id, count(*) AS n_docs, sum(tok) AS n_tokens,
+         sum(hh) AS checksum
+  FROM h WHERE doc_id >= 3 GROUP BY shard_id
+)
+SELECT coalesce(g.shard_id, m.shard_id) AS shard_id,
+       (g.n_docs IS NOT DISTINCT FROM m.m_docs
+        AND g.n_tokens IS NOT DISTINCT FROM m.m_tokens
+        AND g.checksum IS NOT DISTINCT FROM m.m_checksum) AS ok,
+       g.n_docs, g.n_tokens, g.checksum,
+       m.m_docs, m.m_tokens, m.m_checksum
+FROM got g FULL OUTER JOIN man m ON g.shard_id = m.shard_id
+ORDER BY 1
+"""
+
+
 _SHARD_ASSIGN_ORACLE = _SHARD_BASE + """
 SELECT doc_id, shard_id FROM a ORDER BY doc_id
 """
@@ -3212,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round 5 ----
         "shard_assign": _q_shard_assign,
         "shard_manifest": _q_shard_manifest,
+        "shard_verify": _q_shard_verify,
         "dedup_best_corpus": _q_dedup_best_corpus,
         "calibration_curve": _q_calibration_curve,
         "calibration_ece": _q_calibration_ece,
@@ -3986,6 +4025,7 @@ FROM documents, bll b""",
     out["calibration_ece"] = _calib_ece_oracle()
     out["shard_assign"] = _SHARD_ASSIGN_ORACLE
     out["shard_manifest"] = _SHARD_MANIFEST_ORACLE
+    out["shard_verify"] = _SHARD_VERIFY_ORACLE
     out["embedding_decontaminate"] = _EMB_DECON_KEEP_ORACLE
     out["embedding_decon_report"] = _EMB_DECON_REPORT_ORACLE
     out["bloom_probe"] = _BLOOM_PROBE_ORACLE

@@ -149,3 +149,42 @@ class TestKnownBoundsPath:
         with pytest.raises(ValueError):
             prefix_sums(df, "tok", "__g", order_col="doc_id",
                         key_col="doc_id", order_bounds=(5, 5))
+
+
+class TestVerifyShards:
+    def test_clean_and_tampered(self, spark):
+        from validatelite_spark.operators.shards import verify_shards
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(40)], "doc_id long, tok long")
+        assigned = assign_shards(df, 100, "tok", "doc_id")
+        man = shard_manifest(assigned, "tok", "doc_id")
+        clean = verify_shards(assigned, man, "tok", "doc_id").collect()
+        assert all(r.ok for r in clean)
+        # drop one doc: exactly its shard flips to not-ok
+        victim = assigned.collect()[0]
+        tampered = verify_shards(
+            assigned.filter(f"doc_id <> {victim.doc_id}"),
+            man, "tok", "doc_id").collect()
+        bad = [r for r in tampered if not r.ok]
+        assert [r.shard_id for r in bad] == [victim.shard_id]
+        # swap a doc between shards: both shards flip, totals equal
+        from pyspark.sql import functions as F
+        swapped = assigned.withColumn(
+            "shard_id",
+            F.when(F.col("doc_id") == victim.doc_id,
+                   (F.col("shard_id") + 1)).otherwise(F.col("shard_id")))
+        t2 = verify_shards(swapped, man, "tok", "doc_id").collect()
+        assert sum(1 for r in t2 if not r.ok) >= 2
+
+    def test_missing_shard_reported(self, spark):
+        from validatelite_spark.operators.shards import verify_shards
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(20)], "doc_id long, tok long")
+        assigned = assign_shards(df, 50, "tok", "doc_id")
+        man = shard_manifest(assigned, "tok", "doc_id")
+        first = assigned.select("shard_id").distinct().collect()[0][0]
+        rep = verify_shards(assigned.filter(f"shard_id <> {first}"),
+                            man, "tok", "doc_id").collect()
+        gone = [r for r in rep if r.shard_id == first]
+        assert len(gone) == 1 and not gone[0].ok
+        assert gone[0].n_docs is None and gone[0].m_docs is not None

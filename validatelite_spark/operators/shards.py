@@ -144,3 +144,45 @@ def write_shards(
     multiple files per shard directory."""
     (assigned.repartition(F.col(shard_col))
      .write.mode("overwrite").partitionBy(shard_col).parquet(path))
+
+
+def verify_shards(
+    delivered: DataFrame,
+    manifest: DataFrame,
+    token_col: str,
+    key_col: str,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Consumer-side delivery check: recompute each shard's
+    (n_docs, n_tokens, checksum) from the DELIVERED rows and compare
+    against the manifest — one row per shard id present on either side:
+    ``(shard_id, ok, n_docs, n_tokens, checksum, m_docs, m_tokens,
+    m_checksum)`` with ``ok`` false on any count/checksum mismatch or a
+    shard missing from either side.
+
+    This is the read-back half of ``shard_manifest``'s contract: any
+    dropped, duplicated, or swapped document flips ``ok`` for exactly
+    the affected shard (the checksum is an order-independent sum of
+    per-doc 60-bit md5 hashes). One aggregate over the delivered data +
+    a full-outer join on the |shards|-row tables — no window, no
+    collect."""
+    got = (shard_manifest(delivered, token_col, key_col, shard_col)
+           .withColumnRenamed("n_docs", "g_docs")
+           .withColumnRenamed("n_tokens", "g_tokens")
+           .withColumnRenamed("checksum", "g_checksum"))
+    m = (manifest.select(
+        F.col(shard_col).cast("long").alias(shard_col),
+        F.col("n_docs").alias("m_docs"),
+        F.col("n_tokens").alias("m_tokens"),
+        F.col("checksum").cast("decimal(38,0)").alias("m_checksum")))
+    j = got.withColumn(shard_col, F.col(shard_col).cast("long")) \
+        .join(m, shard_col, "full_outer")
+    ok = (F.col("g_docs").eqNullSafe(F.col("m_docs"))
+          & F.col("g_tokens").eqNullSafe(F.col("m_tokens"))
+          & F.col("g_checksum").eqNullSafe(F.col("m_checksum")))
+    return (j.select(shard_col, ok.alias("ok"),
+                     F.col("g_docs").alias("n_docs"),
+                     F.col("g_tokens").alias("n_tokens"),
+                     F.col("g_checksum").alias("checksum"),
+                     "m_docs", "m_tokens", "m_checksum")
+            .orderBy(shard_col))
