@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "dedup_census",
     "soft_sample",
     "contamination_provenance",
+    "shard_verify",
 ]
 
 
