@@ -42,8 +42,37 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: tables whose queries do heavy per-row map work (regex signals,
+#: shingling UDFs, vector math). The benchmark parquet files arrive as a
+#: SINGLE ROW GROUP — Spark cannot split a row group, so no
+#: maxPartitionBytes/minPartitionNum setting ever parallelizes the scan
+#: and every projection/partial-agg above it runs on ONE core. Spread
+#: once right after the read (guide §2.5: "input skew — one huge
+#: unsplittable file … repartition immediately after the read"). The
+#: repartition is CONDITIONAL on the scan actually under-parallelizing,
+#: so at production scale (many row groups per file) it is a no-op, and
+#: the target count derives from the session's parallelism, not a
+#: constant.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table in _SPREAD_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par // 2:
+            # The always-true nondeterministic filter is a PUSHDOWN
+            # FENCE: without it Catalyst pushes every downstream
+            # deterministic predicate below this exchange, and a filter
+            # on a derived signal (e.g. isnotnull(quality_score))
+            # re-expands the whole expression tree on the unsplittable
+            # single-row-group scan — measured 16.1 s → 1.4 s on
+            # calibration_curve at sf1.0. Predicates cannot be
+            # reordered before a nondeterministic one, so everything
+            # evaluates above the spread, in parallel.
+            df = (df.repartition(par)
+                  .filter(F.monotonically_increasing_id() >= 0))
+    return df
 
 
 # ---- DuckDB SQL fragment builders (generated from the same constants as
@@ -1585,7 +1614,7 @@ def _q_soft_sample(spark, sf_dir):
     from validatelite_spark.functions.textquality import quality_score
     from validatelite_spark.operators.sampling import (
         score_weighted_sample)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     scored = docs.withColumn("score", quality_score(F.col("text")))
     return (score_weighted_sample(scored, "score", "doc_id", seed=7)
             .select("doc_id", "lang", "score").orderBy("doc_id"))
@@ -1622,7 +1651,7 @@ def _q_vocab_coverage(spark, sf_dir):
     # terms with cumulative fraction of ALL corpus tokens — groupBy +
     # TakeOrderedAndProject + a window over only the top-k rows
     from validatelite_spark.operators.keywords import vocab_coverage
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return vocab_coverage(docs, top_k=50)
 
 
@@ -1652,7 +1681,7 @@ def _q_calibration_curve(spark, sf_dir):
     from validatelite_spark.functions.textquality import (
         gopher_fail, quality_score)
     from validatelite_spark.operators.evaluation import calibration_bins
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     scored = docs.select(
         quality_score(F.col("text")).alias("score"),
         (~gopher_fail(F.col("text"))).cast("int").alias("y"))
@@ -1666,7 +1695,7 @@ def _q_calibration_ece(spark, sf_dir):
         gopher_fail, quality_score)
     from validatelite_spark.operators.evaluation import (
         expected_calibration_error)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     scored = docs.select(
         quality_score(F.col("text")).alias("score"),
         (~gopher_fail(F.col("text"))).cast("int").alias("y"))
@@ -1714,7 +1743,7 @@ def _q_shard_assign(spark, sf_dir):
     # training-data delivery step; shard boundary is a pure function of
     # the global prefix sum (two-phase, no single-task window)
     from validatelite_spark.operators.shards import assign_shards
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return (assign_shards(docs, 10_000, "n_chars", "doc_id")
             .select("doc_id", "shard_id").orderBy("doc_id"))
 
@@ -1724,7 +1753,7 @@ def _q_shard_manifest(spark, sf_dir):
     # md5-sum checksum the consumer re-derives to verify delivery
     from validatelite_spark.operators.shards import (
         assign_shards, shard_manifest)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return shard_manifest(
         assign_shards(docs, 10_000, "n_chars", "doc_id"),
         "n_chars", "doc_id")
@@ -1753,7 +1782,7 @@ def _q_shard_verify(spark, sf_dir):
     # here with docs 0-2 "lost in transit", so their shards flag ok=false
     from validatelite_spark.operators.shards import (
         assign_shards, shard_manifest, verify_shards)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     assigned = assign_shards(docs, 10_000, "n_chars", "doc_id")
     man = shard_manifest(assigned, "n_chars", "doc_id")
     delivered = assigned.filter(F.col("doc_id") >= 3)
