@@ -249,3 +249,60 @@ class TestEmbeddingDecontaminate:
         import pytest as _pt
         with _pt.raises(ValueError):
             embedding_decontaminate(corpus, bench, mode="purge")
+
+
+class TestKernelJoinParity:
+    """r06 optimization pin: the per-bucket _max_prior_cos kernel must
+    reproduce the within-bucket candidate-join + pure-Column cosine
+    fold it replaced, bit-for-bit, on the real embeddings corpus."""
+
+    def test_kernel_equals_join_shape(self, spark):
+        from validatelite_spark.operators.semdedup import (
+            _max_prior_cos, semdedup_assign, bucket_mean_centroids)
+        from validatelite_spark.operators.similarity import _dot, _norm
+
+        emb = (spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet")
+            .withColumn("embedding",
+                        F.col("embedding").cast("array<double>")))
+        assigned = semdedup_assign(emb, mode="lsh", n_planes=6, dim=64)
+        cents = bucket_mean_centroids(assigned)
+        sims = (assigned.join(F.broadcast(cents), "bucket")
+                .select("id", "bucket", "v",
+                        F.round(_dot(F.col("v"), F.col("centroid"))
+                                / (_norm(F.col("v"))
+                                   * _norm(F.col("centroid"))),
+                                6).alias("centroid_sim")))
+        ranked = sims.select("id", "bucket", "centroid_sim", "v")
+        eps = 0.3
+
+        # kernel path
+        new_dropped = {r["id"] for r in _max_prior_cos(ranked)
+                       .filter(F.round(F.col("max_cos"), 6) >= eps)
+                       .collect()}
+
+        # the old join shape, reconstructed literally
+        rk = ranked.select("id", "bucket", "centroid_sim")
+        p = rk.select(F.col("id").alias("pid"), "bucket",
+                      F.col("centroid_sim").alias("psim"))
+        q = rk.select(F.col("id").alias("qid"),
+                      F.col("bucket").alias("qb"),
+                      F.col("centroid_sim").alias("qsim"))
+        cand = (p.join(q, (p["bucket"] == q["qb"])
+                       & ((q["qsim"] < p["psim"])
+                          | ((q["qsim"] == p["psim"])
+                             & (q["qid"] < p["pid"]))))
+                .select("pid", "qid"))
+        pv = assigned.select(F.col("id").alias("pid"),
+                             F.col("v").alias("pv"),
+                             _norm(F.col("v")).alias("pn"))
+        qv = assigned.select(F.col("id").alias("qid"),
+                             F.col("v").alias("qv"),
+                             _norm(F.col("v")).alias("qn"))
+        d = _dot(F.col("pv"), F.col("qv")) / (F.col("pn") * F.col("qn"))
+        old_dropped = {r["pid"] for r in
+                       cand.join(pv, "pid").join(qv, "qid")
+                       .filter(F.round(d, 6) >= eps)
+                       .select("pid").distinct().collect()}
+
+        assert new_dropped == old_dropped

@@ -37,20 +37,24 @@ Spark-first shape (nothing here is a port — the reference engine
   buckets above the cap are conservatively kept whole (no drops) and
   counted, mirroring ``DEFAULT_DF_CAP`` in operators/dedup.py.
 
-Cosines are pure-Column (``F.aggregate`` fold — the DuckDB-parity
-anchor; the oracle replays every step including the bucket means) with
-``arrow=True`` switching candidate scoring to one einsum per Arrow
-batch for large clusters. Rows with a NULL vector are kept verbatim
-(bucket/centroid_sim NULL) — they cannot be compared. Zero-norm
-vectors produce NULL cosines and are likewise never dropped.
+Centroid similarities are pure-Column (``F.aggregate`` fold — the
+DuckDB-parity anchor; the oracle replays every step including the
+bucket means). Pairwise dominance runs in ONE per-bucket Arrow kernel
+(``_max_prior_cos``) whose per-dimension accumulation order reproduces
+the Column fold bit-for-bit — see its docstring. Rows with a NULL
+vector are kept verbatim (bucket/centroid_sim NULL) — they cannot be
+compared. Zero-norm vectors produce NaN cosines and are likewise never
+dropped... except via the engine's NaN-is-largest compare, identical on
+both the old join shape and the kernel (pinned in tests).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import (_bucket_udf, _centroids_of, _cosine_udf, _dot,
+from .similarity import (_bucket_udf, _centroids_of, _dot,
                          _hyperplanes, _norm, _table_signatures_pandas,
                          kmeans_centroids)
 
@@ -119,6 +123,61 @@ def bucket_mean_centroids(assigned: DataFrame,
                 lambda s: s["m"]).alias("centroid")))
 
 
+def _max_prior_cos(ranked: DataFrame,
+                   block_rows: int = 2048) -> DataFrame:
+    """(id, max_cos) per bucket member: the maximum cosine to any
+    better-ranked member (rank = centroid_sim ASC, id ASC) of the same
+    bucket; -inf when no valid predecessor exists.
+
+    One ``applyInPandas`` per bucket — the quadratic dominance work is
+    SemDeDup's own contract (clusters are sized so n/k stays bounded),
+    but it runs as numpy row-blocks instead of a candidate-pair
+    self-join, so nothing pair-shaped ever shuffles. Float parity with
+    the pure-Column path it replaces (the DuckDB-oracle anchor):
+    every dot and squared norm is accumulated dimension-by-dimension in
+    ascending order — exactly the ``F.aggregate`` fold's left-to-right
+    order — so each per-pair cosine is the bit-identical IEEE double,
+    and max() of identical values is identical. Members with NaN
+    centroid_sim neither dominate nor are dominated (the NULL-comparison
+    semantics of the join shape this replaces). ``block_rows`` bounds
+    kernel memory at block_rows × bucket_size doubles."""
+    import numpy as np
+
+    id_type = dict(ranked.dtypes)["id"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        csim = pdf["centroid_sim"].to_numpy(dtype=np.float64)
+        v = np.array(pdf["v"].tolist(), dtype=np.float64)
+        order = np.lexsort((ids, csim))
+        vs = v[order]
+        valid = ~np.isnan(csim[order])
+        n, dim = vs.shape
+        # squared norms, accumulated per dimension (fold order)
+        sq = np.zeros(n)
+        for d in range(dim):
+            sq += vs[:, d] * vs[:, d]
+        nrm = np.sqrt(sq)
+        out = np.full(n, -np.inf)
+        for lo in range(0, n, block_rows):
+            hi = min(lo + block_rows, n)
+            acc = np.zeros((hi - lo, n))
+            for d in range(dim):
+                acc += vs[lo:hi, d][:, None] * vs[None, :, d]
+            cos = acc / (nrm[lo:hi][:, None] * nrm[None, :])
+            # predecessors only (j < i), and only valid dominators
+            mask = (np.arange(n)[None, :] < np.arange(lo, hi)[:, None]) \
+                & valid[None, :]
+            blocked = np.where(mask, cos, -np.inf)
+            if n:
+                out[lo:hi] = blocked.max(axis=1)
+        out[~valid] = -np.inf
+        return pd.DataFrame({"id": ids[order], "max_cos": out})
+
+    return (ranked.groupBy("bucket")
+            .applyInPandas(fn, f"id {id_type}, max_cos double"))
+
+
 def semdedup_flags(
     df: DataFrame,
     eps: float = DEFAULT_EPS,
@@ -140,10 +199,11 @@ def semdedup_flags(
     (centroid_sim ASC, id ASC) rank has round(cosine, round_to) >= eps.
     Buckets larger than ``max_cluster_size`` are kept whole (the skew
     guard — conservative, never wrong, only under-deduped; the count
-    of such buckets is observable via ``bucket_sizes``). ``arrow=True``
-    scores candidate pairs with one einsum per Arrow batch instead of
-    the interpreted Column fold — the large-cluster production path;
-    the default stays pure-Column as the DuckDB-oracle anchor.
+    of such buckets is observable via ``bucket_sizes``). ``arrow`` is
+    retained for API compatibility and ignored: dominance now always
+    runs in the ``_max_prior_cos`` bucket kernel, which is bit-identical
+    to the pure-Column fold it replaced (and to the einsum variant's
+    intent) — see its docstring.
     """
     assigned = semdedup_assign(df, mode=mode, n_clusters=n_clusters,
                                iters=iters, n_planes=n_planes, seed=seed,
@@ -164,37 +224,27 @@ def semdedup_flags(
                                * _norm(F.col("centroid"))),
                             round_to).alias("centroid_sim")))
 
-    ranked = sims.select("id", "bucket", "centroid_sim")
+    ranked = sims.select("id", "bucket", "centroid_sim", "v")
     if max_cluster_size is not None:
         sizes = (sims.groupBy("bucket")
                  .agg(F.count(F.lit(1)).alias("_bsz")))
         ranked = (ranked.join(F.broadcast(sizes), "bucket")
                   .filter(F.col("_bsz") <= max_cluster_size)
                   .drop("_bsz"))
-    p = ranked.select(F.col("id").alias("pid"), "bucket",
-                      F.col("centroid_sim").alias("psim"))
-    q = ranked.select(F.col("id").alias("qid"),
-                      F.col("bucket").alias("qb"),
-                      F.col("centroid_sim").alias("qsim"))
-    cand = (p.join(q, (p["bucket"] == q["qb"])
-                   & ((q["qsim"] < p["psim"])
-                      | ((q["qsim"] == p["psim"])
-                         & (q["qid"] < p["pid"]))))
-            .select("pid", "qid"))
-    # vectors join back by id from the assignment (not from `sims`, so
-    # these branches carry no centroid dependency); norms precomputed
-    # per vector, never per pair
-    pv = assigned.select(F.col("id").alias("pid"),
-                         F.col("v").alias("pv"),
-                         _norm(F.col("v")).alias("pn"))
-    qv = assigned.select(F.col("id").alias("qid"),
-                         F.col("v").alias("qv"),
-                         _norm(F.col("v")).alias("qn"))
-    d = _cosine_udf()(F.col("pv"), F.col("qv")) if arrow \
-        else _dot(F.col("pv"), F.col("qv")) / (F.col("pn") * F.col("qn"))
-    dropped = (cand.join(pv, "pid").join(qv, "qid")
-               .filter(F.round(d, round_to) >= eps)
-               .select("pid").distinct())
+    # Dominance in ONE per-bucket Arrow kernel: per member, the MAX
+    # cosine over all better-(centroid_sim, id)-ranked members of its
+    # bucket. This replaces the within-bucket (rank-condition) self-join
+    # + per-pair vector join-back + interpreted F.aggregate cosine fold
+    # that dominated the query (6M candidate pairs × a CodegenFallback
+    # 64-dim fold at sf1.0). Bit-identical by construction: the kernel
+    # accumulates dot products and squared norms DIMENSION-BY-DIMENSION
+    # in the same left-to-right order as the _dot/_norm Column folds,
+    # and the rounded comparison stays in Spark — F.round is monotone,
+    # so round(max cos) >= eps <=> any round(cos) >= eps (pinned
+    # exact-equal in tests/test_semdedup.py).
+    dropped = (_max_prior_cos(ranked)
+               .filter(F.round(F.col("max_cos"), round_to) >= eps)
+               .select(F.col("id").alias("pid")))
 
     flags = (sims.join(dropped, sims["id"] == dropped["pid"], "left")
              .select(F.col("id"), "bucket", "centroid_sim",
