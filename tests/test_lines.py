@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pandas as pd
+
 from validatelite_spark.operators.lines import line_dedup
 
 
@@ -296,3 +298,49 @@ class TestIntraDocLineDedup:
         c = sorted(map(tuple,
                        intra_doc_line_dedup(df, arrow=False).collect()))
         assert a == c
+
+
+class TestChunkBuilderParity:
+    """r06 optimization pin: the Arrow chunk builder must produce the
+    same chunk strings as the pure-Column transform/slice/concat_ws
+    chain it replaced, on the real documents corpus."""
+
+    def test_chunks_match_column_chain(self, spark):
+        from pyspark.sql import functions as F
+
+        from validatelite_spark.functions.textquality import tokens
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet")
+        w = 8
+        toks = tokens(F.col("text"))
+        n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+        col_chunks = F.when(
+            F.size(toks) == 0, F.array().cast("array<string>")
+        ).otherwise(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w))))
+        ref = {r["doc_id"]: r["c"] for r in
+               docs.filter(F.col("text").isNotNull())
+               .select("doc_id", col_chunks.alias("c")).collect()}
+
+        from pyspark.sql.functions import pandas_udf
+        from validatelite_spark.operators.dedup import _WS_ASCII
+
+        @pandas_udf("array<string>")
+        def chunks_arrow(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([])
+                    continue
+                tk = [x for x in _WS_ASCII.split(t.lower()) if x]
+                out.append([" ".join(tk[i:i + w])
+                            for i in range(0, len(tk), w)])
+            return pd.Series(out)
+
+        got = {r["doc_id"]: r["c"] for r in
+               docs.filter(F.col("text").isNotNull())
+               .select("doc_id", chunks_arrow(F.col("text")).alias("c"))
+               .collect()}
+        assert got == ref

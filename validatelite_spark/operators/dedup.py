@@ -983,18 +983,29 @@ def dedup_groups(
                  .distinct())
     labels = _mat(edges.select(F.col("src").alias("v")).distinct()
                   .withColumn("label", F.col("v")))
-    def _round(labels):
+    def _label_sum(lbl):
+        # exact decimal sum — the convergence witness. Labels only ever
+        # DECREASE (the min-aggregate includes each vertex's own label
+        # and the vertex set is fixed), so the sum strictly decreases
+        # iff any label changed; comparing two scalar sums replaces the
+        # per-round join+count job (two extra shuffles) the loop used
+        # to pay. decimal(38,0) cannot overflow below ~10^19 vertices
+        # of 64-bit ids.
+        return (lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                        .alias("s")).collect()[0]["s"])
+
+    def _round(labels, prev_sum):
         msgs = (edges.join(labels.withColumnRenamed("v", "src"), "src")
                 .select(F.col("dst").alias("v"), "label"))
         new = _mat(labels.unionByName(msgs)
                    .groupBy("v").agg(F.min("label").alias("label")))
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "v")
-                   .filter(F.col("label") < F.col("old")).count())
-        return new, changed
+        new_sum = _label_sum(new)
+        return new, new_sum, int(prev_sum != new_sum)
 
     changed = 0
+    cur_sum = _label_sum(labels)
     for _ in range(max_iters):
-        labels, changed = _round(labels)
+        labels, cur_sum, changed = _round(labels, cur_sum)
         if changed == 0:
             break
     if changed > 0:
@@ -1002,11 +1013,11 @@ def dedup_groups(
         # mean EITHER diameter == max_iters (labels now correct, just
         # unproven) or diameter > max_iters (labels wrong). One extra
         # verification round disambiguates before raising (ADVICE r2).
-        labels, changed = _round(labels)
+        labels, cur_sum, changed = _round(labels, cur_sum)
         if changed > 0:
             raise RuntimeError(
                 f"dedup_groups did not converge in {max_iters} "
-                f"iterations ({changed} labels still changing); raise "
+                "iterations (labels still changing); raise "
                 "max_iters — near-dup components are normally "
                 "diameter 2-3")
     return labels.select(F.col("v").alias("doc_id"),

@@ -132,14 +132,33 @@ def chunk_dedup(
     Scale shape: identical to ``line_dedup`` — one explode, winner per
     chunk via a map-side min-struct partial aggregate (a viral passage
     in 10^9 docs collapses before the shuffle), AQE-splittable join
-    back, ordered reassembly."""
-    toks = tokens(F.col(text_col))
+    back, ordered reassembly.
+
+    The chunk array is built in one Arrow batch per task (identical
+    strings to the pure-Column transform/slice/concat_ws chain it
+    replaced — that chain is CodegenFallback and re-evaluates the
+    tokenizer per element, CLAUDE.md rule 3 / BENCH.md lesson 2;
+    measured 16.9 s → 4.7 s for the sf1.0 query before the kernel,
+    equality pinned in tests/test_lines.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from validatelite_spark.operators.dedup import _WS_ASCII
+
     w = window_tokens
-    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
-    chunks = F.when(F.size(toks) == 0, F.array().cast("array<string>")) \
-        .otherwise(F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w))))
+
+    @pandas_udf("array<string>")
+    def chunks_arrow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            tk = [x for x in _WS_ASCII.split(t.lower()) if x]
+            out.append([" ".join(tk[i:i + w])
+                        for i in range(0, len(tk), w)])
+        return pd.Series(out)
+
+    chunks = chunks_arrow(F.col(text_col))
     nn = df.filter(F.col(text_col).isNotNull())
     units = nn.select(
         F.col(key_col).alias("k"),

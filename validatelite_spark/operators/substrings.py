@@ -86,21 +86,33 @@ def _seed_pairs(pg: DataFrame, df_cap: int | None,
     chained generators so an at-cap gram streams its O(df²) pairs
     instead of materializing them in one row. Seeds are unique by
     construction — one gram per (doc, position) — so no distinct() is
-    needed afterwards."""
+    needed afterwards.
+
+    The hot-gram cap is applied on the EXPLODED table (occurrence-count
+    aggregate → broadcast anti-join) BEFORE collect_list, so a
+    boilerplate gram with millions of occurrences never materializes
+    its giant occurrence array in the aggregation buffer (the
+    ``dedup._capped_exploded`` shape, per ADVICE r05); the gram table
+    is persisted because the count pass and the collect pass both
+    consume it, and the logging count reads the already-tiny hot list
+    instead of re-running the corpus-wide aggregate."""
+    if df_cap is not None:
+        pg = pg.persist()
+        hot = (pg.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > df_cap).select("g").cache())
+        n_hot = hot.count()
+        if n_hot and log_dropped:
+            logger.warning(
+                "exact_substring_pairs: dropping %d stop-grams with "
+                "more than df_cap=%d occurrences (boilerplate — "
+                "near-zero dedup signal, O(df^2) seed cost)",
+                n_hot, df_cap)
+        if n_hot:
+            pg = pg.join(F.broadcast(hot), "g", "left_anti")
     occ = (pg.groupBy("g")
            .agg(F.sort_array(F.collect_list(F.struct("k", "pos")))
                 .alias("ms"))
            .filter(F.size("ms") > 1))
-    if df_cap is not None:
-        if log_dropped:
-            n_hot = occ.filter(F.size("ms") > df_cap).count()
-            if n_hot:
-                logger.warning(
-                    "exact_substring_pairs: dropping %d stop-grams with "
-                    "more than df_cap=%d occurrences (boilerplate — "
-                    "near-zero dedup signal, O(df^2) seed cost)",
-                    n_hot, df_cap)
-        occ = occ.filter(F.size("ms") <= df_cap)
     return (occ
             .select(F.posexplode("ms").alias("i", "m1"), "ms")
             .select("m1", F.explode(F.expr("slice(ms, i + 2, size(ms))"))
