@@ -16,9 +16,11 @@ maximizing ``log w + Gumbel noise``.
 
 Spark-first shape, 100 TB notes:
 
-- Gram extraction reuses ``repetition.ngrams_all_arrow`` (one Arrow
-  batch per partition; values are strings, so the arrow path is
-  byte-identical to the SQL replay). Bucketing is a pure-Column
+- Gram extraction is ONE fused Arrow UDF per pass emitting the
+  uni+bigram occurrence list (byte-identical to concatenating
+  ``repetition.ngrams_all_arrow(1)`` and ``(2)``, at one tokenizer
+  pass and one JVM↔Python round trip), and the raw-side gram-bucket
+  table is persisted so the model fit and the scorer share one pass. Bucketing is a pure-Column
   ``conv(substr(md5(g),1,8),16,10) % B`` — the repo's engine-portable
   hash (operators/sampling.py uses the same), so the DuckDB oracle
   rebuilds identical buckets.
@@ -44,10 +46,10 @@ identical integer ratios), absorbed by the +1e-9-then-round-6 rule
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .repetition import ngrams_all_arrow
 
 DEFAULT_BUCKETS = 4096
 _DENOM = 1_000_000
@@ -55,8 +57,28 @@ _DENOM = 1_000_000
 
 def _doc_grams(text: Column) -> Column:
     """Word unigram + bigram occurrences (duplicates preserved —
-    DSIR's features are counts, not sets)."""
-    return F.concat(ngrams_all_arrow(1)(text), ngrams_all_arrow(2)(text))
+    DSIR's features are counts, not sets). ONE Arrow round trip: the
+    fused builder emits the concatenated uni+bigram list per doc —
+    byte-identical to concat(ngrams_all_arrow(1), ngrams_all_arrow(2))
+    (same tokens, same order) at half the JVM↔Python traffic and one
+    tokenizer pass instead of two."""
+    from pyspark.sql.functions import pandas_udf
+
+    from validatelite_spark.operators.dedup import _WS_ASCII
+
+    @pandas_udf("array<string>")
+    def uni_bi(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = [x for x in _WS_ASCII.split(t.lower()) if x]
+            out.append(toks + [toks[i] + " " + toks[i + 1]
+                               for i in range(len(toks) - 1)])
+        return pd.Series(out)
+
+    return uni_bi(text)
 
 
 def _gram_bucket(g: Column, n_buckets: int) -> Column:
@@ -85,15 +107,22 @@ def dsir_log_ratios(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
+    raw_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, llr) — the B-row smoothed log-likelihood-ratio table
     ``ln p̂_target(b) − ln p̂_raw(b)``. Buckets never seen on either
-    side get the smoothed prior (ratio 0 when totals match)."""
+    side get the smoothed prior (ratio 0 when totals match).
+    ``raw_buckets``: a pre-built (persisted) raw-side gram-bucket
+    table, so the scorer can share one gram-extraction pass with the
+    model fit instead of re-running the Arrow tokenizer over the whole
+    crawl a second time."""
     spark = raw.sparkSession
     tc = (hashed_gram_buckets(target, text_col, id_col, n_buckets)
           .groupBy("bucket").agg(F.count(F.lit(1)).alias("tc")))
-    rc = (hashed_gram_buckets(raw, text_col, id_col, n_buckets)
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("rc")))
+    if raw_buckets is None:
+        raw_buckets = hashed_gram_buckets(raw, text_col, id_col,
+                                          n_buckets)
+    rc = raw_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
     dom = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     counts = (dom.join(tc, "bucket", "left").join(rc, "bucket", "left")
               .select("bucket",
@@ -121,9 +150,14 @@ def dsir_weights(
     broadcast-joined bucket log-ratios over the document's gram
     occurrences. Documents with no grams (NULL/one-token text) score
     0. One shuffle keyed by id; rounded (+1e-9 first) so partial-sum
-    order cannot leak into the value."""
-    lam = dsir_log_ratios(target, raw, text_col, id_col, n_buckets, alpha)
-    sums = (hashed_gram_buckets(raw, text_col, id_col, n_buckets)
+    order cannot leak into the value. The raw gram-bucket table is
+    persisted and SHARED between the model fit and the scoring join —
+    one gram-extraction pass over the crawl, not two."""
+    raw_bk = hashed_gram_buckets(raw, text_col, id_col,
+                                 n_buckets).persist()
+    lam = dsir_log_ratios(target, raw, text_col, id_col, n_buckets,
+                          alpha, raw_buckets=raw_bk)
+    sums = (raw_bk
             .join(F.broadcast(lam), "bucket")
             .groupBy("id").agg(F.sum("llr").alias("s")))
     return (raw.select(F.col(id_col).alias("id"))
@@ -163,8 +197,11 @@ def dsir_resample(
     pure function of (corpus, seed): reruns, repartitions, and cluster
     sizes all select the SAME documents. Ties at the rounded score
     break by id; the cut is TakeOrderedAndProject (no global sort)."""
-    lam = dsir_log_ratios(target, raw, text_col, id_col, n_buckets, alpha)
-    sums = (hashed_gram_buckets(raw, text_col, id_col, n_buckets)
+    raw_bk = hashed_gram_buckets(raw, text_col, id_col,
+                                 n_buckets).persist()
+    lam = dsir_log_ratios(target, raw, text_col, id_col, n_buckets,
+                          alpha, raw_buckets=raw_bk)
+    sums = (raw_bk
             .join(F.broadcast(lam), "bucket")
             .groupBy("id").agg(F.sum("llr").alias("s")))
     scored = (raw.select(F.col(id_col).alias("id"))
