@@ -260,10 +260,13 @@ def contaminated_docs(
     if broadcast is None:
         # auto-gating runs one small-side job at plan-construction time
         # (the benchmark is the small side by contract; callers that
-        # need full laziness pass broadcast= explicitly). Deliberately
-        # NOT cached: a cached gate count would leak storage memory on
-        # every call, and recomputing the small side once in the join is
-        # cheaper than a permanent cache.
+        # need full laziness pass broadcast= explicitly). The distinct
+        # n-gram set is CACHED across the gate count and the join —
+        # without it the benchmark-side Arrow shingling + distinct ran
+        # twice per call; the footprint is benchmark-bounded (MBs by
+        # contract, and the gate itself refuses to broadcast past
+        # ``broadcast_threshold``).
+        b_sh = b_sh.cache()
         broadcast = b_sh.count() <= broadcast_threshold
     bench_side = F.broadcast(b_sh) if broadcast else b_sh.hint("merge")
     d_tab = _shingle_table(docs, text_col, id_col, n, arrow=arrow)
@@ -326,6 +329,9 @@ def contamination_provenance(
                      F.explode("sh").alias("s"))
              .distinct())
     if broadcast is None:
+        # cached across the gate count and the join — same rationale
+        # (and bound) as contaminated_docs above
+        b_tab = b_tab.cache()
         broadcast = b_tab.count() <= broadcast_threshold
     bench_side = F.broadcast(b_tab) if broadcast else b_tab.hint("merge")
     ex = (_shingle_table(docs, text_col, id_col, n, arrow=arrow)
