@@ -339,10 +339,23 @@ def _log_oversized_buckets(per_bucket: DataFrame, cap: int,
 
 
 def _jaccard_from_common(common: DataFrame, sizes: DataFrame,
-                         threshold: float) -> DataFrame:
-    """(id1, id2, common) + (k, sz) → exact Jaccard ≥ threshold pairs."""
+                         threshold: float,
+                         broadcast_sizes: bool | None = None) -> DataFrame:
+    """(id1, id2, common) + (k, sz) → exact Jaccard ≥ threshold pairs.
+
+    The candidate-pair table can dwarf the corpus (114M rows at sf1.0
+    for 2.5k surviving pairs) while ``sizes`` is ONE small row per doc
+    — a sort-merge join would re-shuffle the fat pair table twice just
+    to attach two ints. The sizes side is therefore broadcast when it
+    fits (size-gated like ``keep_representatives``: one cheap count on
+    the already-persisted shingle table; at corpus scales past the
+    threshold the shuffled join returns, semantics identical)."""
+    if broadcast_sizes is None:
+        broadcast_sizes = sizes.count() <= KEEP_BROADCAST_THRESHOLD
     sa = sizes.select(F.col("k").alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("k").alias("id2"), F.col("sz").alias("sz2"))
+    if broadcast_sizes:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         common.join(sa, "id1").join(sb, "id2")
         .withColumn(
@@ -439,8 +452,13 @@ def ngram_containment_pairs(
     )
     common = (_expand_pairs(per_shingle)
               .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common")))
+    # size-gated broadcast of the per-doc sizes — same rationale as
+    # _jaccard_from_common (the pair table dwarfs the sizes table)
+    bcast = sizes.count() <= KEEP_BROADCAST_THRESHOLD
     sa = sizes.select(F.col("k").alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("k").alias("id2"), F.col("sz").alias("sz2"))
+    if bcast:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         common.join(sa, "id1").join(sb, "id2")
         .withColumn(
@@ -789,16 +807,20 @@ def simhash_table(df: DataFrame, text_col: str = "text",
         h = F.xxhash64(F.col("t"))
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # branch-free votes: sum the raw bit (0/1) plus one row count —
+    # with ±1 votes the sum is b - (n - b) = 2b - n, so "votes > 0"
+    # is exactly "2·b > n"; dropping the per-row CASE halves the
+    # per-(row, bit) aggregate work while producing the identical
+    # signature bit-for-bit
     aggs = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"b{i}")
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)
     ]
-    votes = ex.groupBy("k").agg(*aggs)
+    votes = ex.groupBy("k").agg(F.count(F.lit(1)).alias("__n"), *aggs)
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig.bitwiseXOR(
-            F.when(F.col(f"b{i}") > 0,
+            F.when(F.col(f"b{i}") * 2 > F.col("__n"),
                    F.shiftleft(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long")))
     return votes.select("k", sig.alias("sh"))

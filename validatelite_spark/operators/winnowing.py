@@ -48,7 +48,16 @@ def _grams_arrow(n: int):
     """ORDERED word n-grams with duplicates (winnowing needs the
     sequence, unlike the deduped shingle SET) — one Arrow batch,
     keeping the higher-order-function chain out of the corpus-wide
-    projection (CLAUDE.md rule 3)."""
+    projection (CLAUDE.md rule 3).
+
+    Tokenizer is ``_WS_ASCII`` (= Java ``\\s``), NOT ``str.split()``
+    (Unicode whitespace): the positions this builder emits are
+    consumed by ``substring_scrub``, which cuts spans out of the
+    Column-path ``tokens()`` sequence — a Unicode-only separator
+    (U+00A0 etc.) would shift every later position and scrub the wrong
+    words (ADVICE r05 #1). Matches ``shingles_arrow``'s convention."""
+    from validatelite_spark.operators.dedup import _WS_ASCII
+
     @F.pandas_udf("array<string>")
     def g(s: pd.Series) -> pd.Series:
         out = []
@@ -56,7 +65,7 @@ def _grams_arrow(n: int):
             if t is None:
                 out.append([])
                 continue
-            toks = t.lower().split()
+            toks = [x for x in _WS_ASCII.split(t.lower()) if x]
             out.append([" ".join(toks[i:i + n])
                         for i in range(len(toks) - n + 1)])
         return pd.Series(out)

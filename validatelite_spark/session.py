@@ -49,7 +49,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 20g default (env-overridable): local mode runs `cpus`
+        # CONCURRENT tasks in one JVM, and a high-cardinality hash
+        # aggregate (the candidate-pair counters) holds ~100-200 MB of
+        # execution memory PER TASK — the old 8g heap left 4.8g of
+        # unified memory for 32 tasks, right at the spill edge
+        # (observed: TaskMemoryManager 256 MB page-allocation failures
+        # + GCLocker retry stalls at sf1.0). A real cluster sets
+        # executor memory via spark-submit; this default only sizes
+        # the local driver-executor to its host.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
+        # cap tungsten pages below G1's humongous-object threshold:
+        # default page sizing requested 256 MB chunks whose
+        # allocation-while-GC stalls ("Retried waiting for GCLocker")
+        # serialized the very aggregates that needed the memory
+        .config("spark.buffer.pageSize", "16m")
     )
     for k, v in _WORKER_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
