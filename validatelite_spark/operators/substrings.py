@@ -113,6 +113,12 @@ def _seed_pairs(pg: DataFrame, df_cap: int | None,
            .agg(F.sort_array(F.collect_list(F.struct("k", "pos")))
                 .alias("ms"))
            .filter(F.size("ms") > 1))
+    # re-spread before the chained-generator expansion: AQE coalesces
+    # the per-gram table by its bytes and cannot see the O(df²) seed
+    # blow-up above it (same fix, same rationale as
+    # dedup._expand_pairs)
+    par = occ.sparkSession.sparkContext.defaultParallelism
+    occ = occ.repartition(4 * par)
     return (occ
             .select(F.posexplode("ms").alias("i", "m1"), "ms")
             .select("m1", F.explode(F.expr("slice(ms, i + 2, size(ms))"))
