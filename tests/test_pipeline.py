@@ -321,3 +321,103 @@ class TestCuration:
         again = sorted((r["doc_id"]) for r in curate(
             spark, docs.repartition(7), token_budget=2000).collect())
         assert again == sorted(r["doc_id"] for r in rows)
+
+
+class TestFusedLangParity:
+    """r06 optimization pin: when LANG_ID rides the fused Arrow pass
+    (PERPLEXITY/PII present), the Python lang_id_series must reproduce
+    the native lang_id CASE chain exactly — detected language, fail
+    flag, keep decision, and scrubbed bytes — on both the synthesized
+    pages corpus and the real documents corpus."""
+
+    def test_fused_gopher_matches_native(self, spark):
+        from pyspark.sql import functions as F
+
+        from validatelite_spark.functions import textquality
+        from validatelite_spark.pipeline import (QualityPipeline,
+                                                 synthesize_pages)
+
+        pages = synthesize_pages(spark, 20_000, partitions=8)
+        ann = QualityPipeline(spark).annotate(pages).select(
+            "url", "fail_gopher_text",
+            textquality.gopher_fail(F.col("text")).alias("native_g"))
+        bad = ann.filter(~F.col("fail_gopher_text").eqNullSafe(
+            F.col("native_g"))).count()
+        assert bad == 0
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet")
+        ann2 = QualityPipeline(spark).annotate(
+            docs.withColumnRenamed("doc_id", "url")).select(
+            "fail_gopher_text",
+            textquality.gopher_fail(F.col("text")).alias("native_g"))
+        assert ann2.filter(~F.col("fail_gopher_text").eqNullSafe(
+            F.col("native_g"))).count() == 0
+
+    def test_fused_lang_matches_native(self, spark):
+        from pyspark.sql import functions as F
+
+        from validatelite_spark.functions import textquality
+        from validatelite_spark.pipeline import (QualityPipeline,
+                                                 synthesize_pages)
+
+        pages = synthesize_pages(spark, 20_000, partitions=8)
+        pipe = QualityPipeline(spark)
+        ann = pipe.annotate(pages).select(
+            "url", "keep", "fail_lang_id_text",
+            F.col("text_scrubbed").alias("scr"),
+            textquality.lang_id(F.col("text")).alias("native_lang"))
+        bad = ann.filter(
+            (~F.col("fail_lang_id_text").eqNullSafe(
+                ~F.col("native_lang").isin("en")))).count()
+        assert bad == 0
+
+        docs = (spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet")
+            .withColumnRenamed("doc_id", "url"))
+        ann2 = QualityPipeline(spark).annotate(docs).select(
+            "url", "fail_lang_id_text",
+            textquality.lang_id(F.col("text")).alias("native_lang"))
+        bad2 = ann2.filter(
+            ~F.col("fail_lang_id_text").eqNullSafe(
+                ~F.col("native_lang").isin("en"))).count()
+        assert bad2 == 0
+
+    def test_fused_lang_keep_and_scrub_match_native_lang_pipeline(
+            self, spark):
+        """Full-row equivalence: the fused-lang pipeline vs the same
+        rules with LANG_ID forced onto the native path (no ppl/pii →
+        no fused UDF, lang stays native) — keep sets must agree with
+        the fused pipeline's native_drop+lang+ppl composition."""
+        from pyspark.sql import functions as F
+
+        from validatelite_spark.functions.perplexity import \
+            perplexity_series
+        from validatelite_spark.pipeline import (QualityPipeline,
+                                                 synthesize_pages)
+
+        pages = synthesize_pages(spark, 10_000, partitions=4).cache()
+        pipe = QualityPipeline(spark)
+        # urls are NOT unique in the generator — compare multisets
+        got = sorted((r["url"], bool(r["keep"]), r["text_scrubbed"])
+                     for r in pipe.annotate(pages)
+                     .select("url", "keep", "text_scrubbed").collect())
+        # independent reference: native flags + pandas perplexity
+        import pandas as pd
+        from validatelite_spark.functions import textquality
+        from validatelite_spark.functions.pii import (hit_series,
+                                                      scrub_series)
+        ref_rows = pages.select(
+            "url", "text",
+            textquality.gopher_fail(F.col("text")).alias("gf"),
+            textquality.lang_id(F.col("text")).alias("lg")).collect()
+        texts = pd.Series([r["text"] for r in ref_rows])
+        ppl = perplexity_series(texts)
+        pii = hit_series(texts)
+        scr = scrub_series(texts)
+        ref = []
+        for i, r in enumerate(ref_rows):
+            keep = bool(r["text"] is not None and not r["gf"]
+                        and r["lg"] == "en" and ppl[i] <= 13.5)
+            exp = (scr[i] if pii[i] else r["text"]) if keep else None
+            ref.append((r["url"], keep, exp))
+        assert got == sorted(ref)

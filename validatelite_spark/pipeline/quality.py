@@ -102,10 +102,25 @@ class QualityPipeline:
         toks = "__toks"
         out = df.withColumn(toks, textquality.tokens(text))
 
+        # a LANG_ID rule rides the fused Arrow pass when one exists
+        # (PERPLEXITY/PII present): the language signal is 4 marker
+        # regexes + a CJK scan natively — the single most expensive
+        # native signal — while in the fused UDF it reuses the text
+        # batch already crossing the boundary (lang_id_series parity
+        # pinned in tests). Without a fused pass it stays native.
+        fused_exists = any(
+            r.column == cfg.text_column
+            and ((r.type == RuleType.PERPLEXITY
+                  and r.parameters.get("min_ppl") is None
+                  and r.parameters.get("max_ppl") is not None)
+                 or r.type == RuleType.PII_SCRUB)
+            for r in self.rules)
+
         flags: dict[str, Column] = {}
         drop_names: list[str] = []
         ppl_rule = None
         pii_rule = None
+        lang_rule = None
         for rule in self.rules:
             name = _flag_name(rule)
             if rule.severity.value in cfg.drop_severities:
@@ -115,6 +130,11 @@ class QualityPipeline:
                     and rule.column == cfg.text_column):
                 flags[name] = textquality.gopher_fail_t(
                     text, F.col(toks), rule.parameters)
+            elif (rule.type == RuleType.LANG_ID
+                    and rule.column == cfg.text_column
+                    and fused_exists):
+                lang_rule = rule
+                flags[name] = None  # filled from the fused struct below
             elif (rule.type == RuleType.LANG_ID
                     and rule.column == cfg.text_column):
                 allowed = list(rule.parameters["allowed_langs"])
@@ -154,14 +174,25 @@ class QualityPipeline:
             # would silently lose its scrub output (ADVICE r1)
             ppl_drops = (ppl_rule is not None
                          and ppl_rule.severity.value in cfg.drop_severities)
+            lang_allowed = (list(lang_rule.parameters["allowed_langs"])
+                            if lang_rule is not None else None)
+            lang_drops = (lang_rule is not None
+                          and lang_rule.severity.value
+                          in cfg.drop_severities)
             out = out.withColumn(
                 "__fx", fused_text_eval(text, native_drop, max_ppl,
-                                        ppl_drops=ppl_drops))
+                                        ppl_drops=ppl_drops,
+                                        lang_allowed=lang_allowed,
+                                        lang_drops=lang_drops))
             if ppl_rule is not None:
                 out = out.withColumn(_flag_name(ppl_rule),
                                      F.col("__fx.ppl") > max_ppl)
             if pii_rule is not None:
                 out = out.withColumn(_flag_name(pii_rule), F.col("__fx.pii"))
+            if lang_rule is not None:
+                out = out.withColumn(
+                    _flag_name(lang_rule),
+                    ~F.col("__fx.lang").isin(lang_allowed))
             fused_scrub = F.col("__fx.scrubbed")
 
         keep = F.lit(True)
