@@ -53,7 +53,7 @@ def _utc(spark: SparkSession) -> None:
 #: so at production scale (many row groups per file) it is a no-op, and
 #: the target count derives from the session's parallelism, not a
 #: constant.
-_SPREAD_TABLES = {"documents", "embeddings"}
+_SPREAD_TABLES = {"documents"}
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
