@@ -56,9 +56,10 @@ def _utc(spark: SparkSession) -> None:
 _SPREAD_TABLES = {"documents"}
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _read(spark: SparkSession, sf_dir: str, table: str,
+          spread: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table in _SPREAD_TABLES:
+    if spread and table in _SPREAD_TABLES:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par // 2:
             # The always-true nondeterministic filter is a PUSHDOWN
@@ -284,7 +285,7 @@ def _q_fused_rules(spark, sf_dir):
 
 
 def _q_unique_source(spark, sf_dir):
-    df = _read(spark, sf_dir, "documents")
+    df = _read(spark, sf_dir, "documents", spread=False)
     return df.agg(
         F.count(F.lit(1)).alias("total_records"),
         (F.sum(F.col("source").isNotNull().cast("long"))
@@ -1127,7 +1128,7 @@ def _q_temperature_sample(spark, sf_dir):
     # set verified (md5 buckets + double-rounded thresholds are
     # engine-portable)
     from validatelite_spark.operators.sampling import temperature_sample
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     return (temperature_sample(docs, total_budget=300, strata_col="lang",
                                key_col="doc_id", alpha=0.5, seed=13)
             .select("doc_id", "lang"))
@@ -1137,7 +1138,7 @@ def _q_cap_per_source(spark, sf_dir):
     # RefinedWeb-style per-domain quota: at most 5 docs per source,
     # longest-first (operators/sampling.py cap_per_group)
     from validatelite_spark.operators.sampling import cap_per_group
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     return (cap_per_group(docs, "source", 5, "n_chars", "doc_id")
             .select("doc_id", "source", "n_chars"))
 
@@ -1277,7 +1278,7 @@ def _q_key_skew(spark, sf_dir):
 def _q_quality_quantiles(spark, sf_dir):
     # exact interpolated percentiles of doc length per lang (JVM-side
     # percentile(), not approx_percentile — matches quantile_cont)
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9),
                                           F.lit(0.99)))
     return (docs.groupBy("lang")
@@ -1290,7 +1291,7 @@ def _q_hash_sample(spark, sf_dir):
     # deterministic md5-keyed sampling (reproducible at any cluster
     # size; df.sample is not) — oracle verifies the EXACT row set
     from validatelite_spark.operators.sampling import hash_sample
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     return (hash_sample(docs, 0.25, "doc_id", seed=7)
             .select("doc_id", "lang", "n_chars"))
 
@@ -1743,7 +1744,7 @@ def _q_shard_assign(spark, sf_dir):
     # training-data delivery step; shard boundary is a pure function of
     # the global prefix sum (two-phase, no single-task window)
     from validatelite_spark.operators.shards import assign_shards
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     return (assign_shards(docs, 10_000, "n_chars", "doc_id")
             .select("doc_id", "shard_id").orderBy("doc_id"))
 
@@ -1753,7 +1754,7 @@ def _q_shard_manifest(spark, sf_dir):
     # md5-sum checksum the consumer re-derives to verify delivery
     from validatelite_spark.operators.shards import (
         assign_shards, shard_manifest)
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     return shard_manifest(
         assign_shards(docs, 10_000, "n_chars", "doc_id"),
         "n_chars", "doc_id")
@@ -1782,7 +1783,7 @@ def _q_shard_verify(spark, sf_dir):
     # here with docs 0-2 "lost in transit", so their shards flag ok=false
     from validatelite_spark.operators.shards import (
         assign_shards, shard_manifest, verify_shards)
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     assigned = assign_shards(docs, 10_000, "n_chars", "doc_id")
     man = shard_manifest(assigned, "n_chars", "doc_id")
     delivered = assigned.filter(F.col("doc_id") >= 3)
@@ -1981,7 +1982,7 @@ def _q_split_summary(spark, sf_dir):
     # of a site lands in exactly one split — assignment is one
     # shuffle-free projection, audited here with one aggregate
     from validatelite_spark.operators.splits import split_summary
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     return split_summary(docs, by="source", seed=0, size_col="n_chars")
 
 
@@ -2573,7 +2574,8 @@ _DRIFT_FILTER_SQL = ("n_chars BETWEEN 100 AND 400 "
 
 
 def _drift_frames(spark, sf_dir):
-    docs = (_read(spark, sf_dir, "documents")
+    # length() alone does not justify the spread exchange
+    docs = (_read(spark, sf_dir, "documents", spread=False)
             .withColumn("text_len", F.length("text")))
     new = docs.filter((F.col("n_chars") >= 100)
                       & (F.col("n_chars") <= 400)
@@ -2764,7 +2766,7 @@ def _q_pack_sequences(spark, sf_dir):
     # global stream, docs concatenated in doc_id order, cut every
     # 2048 "tokens" (n_chars) — per-doc placement report
     from validatelite_spark.operators.packing import pack_sequences
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     return (pack_sequences(docs, _SEQ_LEN, "n_chars",
                            order_col="doc_id", key_col="doc_id")
             .select("doc_id", "n_chars", "seq_start", "first_seq",
@@ -2828,7 +2830,7 @@ def _q_mixture_sample(spark, sf_dir):
     # by the two-phase prefix sum at its share; other langs pruned at
     # the scan
     from validatelite_spark.operators.sampling import mixture_budget_filter
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     kept = mixture_budget_filter(docs, _MIX_TOTAL, _MIX_WEIGHTS,
                                  token_col="n_chars", by="lang",
                                  order_col="n_chars", key_col="doc_id")
@@ -2856,7 +2858,7 @@ def _q_token_budget(spark, sf_dir):
     # data-mixing primitive: per-lang token budget, docs taken in
     # deterministic order until the running pre-doc total hits budget
     from validatelite_spark.operators.sampling import token_budget_filter
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     kept = token_budget_filter(docs, budget=5000, token_col="n_chars",
                                by="lang", order_col="n_chars",
                                key_col="doc_id")
@@ -3029,7 +3031,7 @@ def _q_domain_filter(spark, sf_dir):
     # sits in the bottom quantile of per-domain averages (domains
     # weighted equally); scalar threshold + null-safe semi-join back
     from validatelite_spark.operators.domains import domain_quality_filter
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     out = domain_quality_filter(docs, "n_chars", by="source", q=0.25,
                                 min_docs=2)
     return out.select("doc_id", "source", "n_chars")
@@ -3186,7 +3188,7 @@ def _q_stratified_sample(spark, sf_dir):
     # per-stratum deterministic sampling (the data-mix knob): exact row
     # set verified — md5 arithmetic is engine-portable
     from validatelite_spark.operators.sampling import stratified_sample
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=False)
     return (stratified_sample(docs, {"en": 0.5, "de": 1.0, "zh": 0.1},
                               "doc_id", "lang", seed=11)
             .select("doc_id", "lang"))

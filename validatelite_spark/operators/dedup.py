@@ -292,7 +292,8 @@ def _pairs_from_exploded(ex: DataFrame, sizes: DataFrame,
     return _jaccard_from_common(common, sizes, threshold)
 
 
-def _expand_pairs(groups: DataFrame, star_over: int | None = None) -> DataFrame:
+def _expand_pairs(groups: DataFrame, star_over: int | None = None,
+                  respread: bool = True) -> DataFrame:
     """Ordered (id1, id2) pairs from a sorted per-group member array
     ``ks`` — the chained-generator shape: posexplode the member list to
     (i, id1), then explode the i+1.. suffix as id2, so each generated
@@ -313,9 +314,14 @@ def _expand_pairs(groups: DataFrame, star_over: int | None = None) -> DataFrame:
     expansion + partial aggregate, and the stage ran with GB-sized
     per-task agg state (spill + GCLocker stalls; measured 28 s → 8-12 s
     for the expansion+count with the re-spread). Partition count
-    derives from the session, not a constant."""
-    par = groups.sparkSession.sparkContext.defaultParallelism
-    groups = groups.repartition(4 * par)
+    derives from the session, not a constant. ``respread=False`` for
+    the LSH candidate paths (minhash/simhash): their per-bucket
+    expansion is already bounded by ``bucket_cap`` and the bucket
+    tables are small — there the extra shuffle is pure overhead
+    (measured ~+1-2 s per query at sf1.0 with no stage to save)."""
+    if respread:
+        par = groups.sparkSession.sparkContext.defaultParallelism
+        groups = groups.repartition(4 * par)
     if star_over is None:
         src = F.col("ks")
     else:
@@ -563,7 +569,8 @@ def minhash_lsh_pairs(
     if bucket_cap is not None and log_oversized:
         per_bucket = _log_oversized_buckets(per_bucket, bucket_cap,
                                             "minhash_lsh_pairs")
-    candidates = _expand_pairs(per_bucket, bucket_cap).distinct()
+    candidates = _expand_pairs(per_bucket, bucket_cap,
+                               respread=False).distinct()
     # exact verification of candidates only: common-shingle counts are
     # re-derived from the exploded (k, shingle) table joined onto the
     # candidate pairs — only ids + shingle strings shuffle. (The previous
@@ -926,7 +933,7 @@ def simhash_candidates(
     if bucket_cap is not None and log_oversized:
         per_bucket = _log_oversized_buckets(per_bucket, bucket_cap,
                                             "simhash_candidates")
-    pairs = _expand_pairs(per_bucket, bucket_cap)
+    pairs = _expand_pairs(per_bucket, bucket_cap, respread=False)
     out = (pairs.select(
         F.col("id1.k").alias("id1"), F.col("id2.k").alias("id2"),
         hamming64(F.col("id1.sh"), F.col("id2.sh")).alias("distance"))
