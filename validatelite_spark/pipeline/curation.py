@@ -111,6 +111,14 @@ def curate(
     if benchmark_urls is not None:
         d = url_decontaminate(d, benchmark_urls, url_col)
     uniq = exact_dedup(d, text_col, key_col)
+    if benchmark_texts is not None and persist_intermediate is not None:
+        # the deduped frame feeds BOTH the rule projection and the
+        # n-gram decontamination leg — without a seam the one
+        # materialization job evaluates the url-decon + dedup chain
+        # twice (once per branch)
+        from pyspark import StorageLevel
+
+        uniq = uniq.persist(getattr(StorageLevel, persist_intermediate))
     ann = QualityPipeline(spark, cfg, rules).annotate(uniq)
     kept = ann.filter("keep").select(*docs.columns)
     if benchmark_texts is not None:
