@@ -610,3 +610,33 @@ class TestDedupCensus:
                for r in dedup.dedup_census(
                    dedup.dedup_groups(pairs)).collect()]
         assert got == [(2, 2, 4), (3, 1, 3)]
+
+
+class TestPackedPairKey:
+    """r06 optimization pin: the packed single-long pair key
+    (id1<<32|id2, used when keys are integral and < 2^31) must produce
+    exactly the two-column aggregate's pairs — compared here by
+    running the same corpus through the packed path (bigint ids) and
+    the fallback path (string ids, unpackable)."""
+
+    def test_packed_equals_string_key_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from validatelite_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet")
+        # string keys sort lexicographically, flipping some pairs'
+        # (id1, id2) orientation — compare unordered pairs
+        packed = {(frozenset((r["id1"], r["id2"])), r["jaccard"]) for r
+                  in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                         n=3, threshold=0.5).collect()}
+        spark.catalog.clearCache()
+        sdocs = docs.withColumn("doc_id",
+                                F.col("doc_id").cast("string"))
+        fallback = {(frozenset((int(r["id1"]), int(r["id2"]))),
+                     r["jaccard"])
+                    for r in ngram_jaccard_pairs(
+                        sdocs, "text", "doc_id",
+                        n=3, threshold=0.5).collect()}
+        assert packed == fallback
